@@ -1,0 +1,184 @@
+"""Shape + numerics tests for the encoder zoo (the test pyramid the reference
+lacks — SURVEY.md §4). Every encoder must map (B, 63, 250) → (B, 1024),
+be finite, depend on its inputs, and train (grad flows to every param)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eeg_image_decode_tpu.models import build_encoder
+from eeg_image_decode_tpu.models.registry import ENCODERS
+
+B, C, T, D = 4, 63, 250, 1024
+
+ALL_ENCODERS = sorted(ENCODERS)
+
+
+def _init_and_apply(name, x, subject_ids=None, train=False):
+    model = build_encoder(name)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        x,
+        subject_ids,
+        deterministic=True,
+    )
+    if train:
+        out, updates = model.apply(
+            variables,
+            x,
+            subject_ids,
+            deterministic=False,
+            rngs={"dropout": jax.random.key(2)},
+            mutable=["batch_stats"],
+        )
+        return model, variables, out
+    out = model.apply(variables, x, subject_ids, deterministic=True)
+    return model, variables, out
+
+
+@pytest.mark.parametrize("name", ALL_ENCODERS)
+def test_encoder_output_shape_and_finite(name, rng):
+    x = jnp.asarray(rng.normal(size=(B, C, T)).astype(np.float32))
+    sids = jnp.zeros((B,), jnp.int32)
+    _, _, (feats, scale) = _init_and_apply(name, x, sids)
+    assert feats.shape == (B, D), f"{name}: {feats.shape}"
+    assert bool(jnp.all(jnp.isfinite(feats))), name
+    assert scale.shape == ()
+
+
+@pytest.mark.parametrize("name", ["atms", "nice", "eegnetv4"])
+def test_encoder_depends_on_input(name, rng):
+    x1 = jnp.asarray(rng.normal(size=(B, C, T)).astype(np.float32))
+    x2 = x1.at[0].add(1.0)
+    sids = jnp.zeros((B,), jnp.int32)
+    model = build_encoder(name)
+    variables = model.init(jax.random.key(0), x1, sids, deterministic=True)
+    f1, _ = model.apply(variables, x1, sids, deterministic=True)
+    f2, _ = model.apply(variables, x2, sids, deterministic=True)
+    assert not np.allclose(np.asarray(f1[0]), np.asarray(f2[0]))
+    # untouched samples must be unaffected (no cross-batch leakage in eval)
+    np.testing.assert_allclose(np.asarray(f1[1:]), np.asarray(f2[1:]), atol=1e-5)
+
+
+def test_atms_subject_token_changes_features(rng):
+    x = jnp.asarray(rng.normal(size=(B, C, T)).astype(np.float32))
+    model = build_encoder("atms")
+    variables = model.init(
+        jax.random.key(0), x, jnp.zeros((B,), jnp.int32), deterministic=True
+    )
+    f0, _ = model.apply(variables, x, jnp.zeros((B,), jnp.int32), deterministic=True)
+    f1, _ = model.apply(variables, x, jnp.ones((B,), jnp.int32), deterministic=True)
+    assert not np.allclose(np.asarray(f0), np.asarray(f1))
+
+
+def test_atms_out_of_range_subject_uses_shared_token(rng):
+    """Reference fallback (Embed.py:117-121): any id >= num_subjects → shared
+    token for the whole batch. ids 10 and 99 must therefore agree."""
+    x = jnp.asarray(rng.normal(size=(B, C, T)).astype(np.float32))
+    model = build_encoder("atms")
+    variables = model.init(
+        jax.random.key(0), x, jnp.zeros((B,), jnp.int32), deterministic=True
+    )
+    f10, _ = model.apply(
+        variables, x, jnp.full((B,), 10, jnp.int32), deterministic=True
+    )
+    f99, _ = model.apply(
+        variables, x, jnp.full((B,), 99, jnp.int32), deterministic=True
+    )
+    np.testing.assert_allclose(np.asarray(f10), np.asarray(f99), atol=1e-6)
+
+
+def test_atms_joint_train_per_subject_embeddings(rng):
+    from eeg_image_decode_tpu.core.config import ATMSConfig
+
+    x = jnp.asarray(rng.normal(size=(B, C, T)).astype(np.float32))
+    model = build_encoder("atms", config=ATMSConfig(joint_train=True))
+    variables = model.init(
+        jax.random.key(0), x, jnp.zeros((B,), jnp.int32), deterministic=True
+    )
+    p = variables["params"]["encoder"]["embedding"]
+    assert "subject_value_w" in p, list(p.keys())
+    assert p["subject_value_w"].shape == (10, T, T)
+    f0, _ = model.apply(variables, x, jnp.zeros((B,), jnp.int32), deterministic=True)
+    f1, _ = model.apply(variables, x, jnp.ones((B,), jnp.int32), deterministic=True)
+    assert not np.allclose(np.asarray(f0), np.asarray(f1))
+
+
+def test_atms_gradients_reach_all_params(rng):
+    from eeg_image_decode_tpu.losses import clip_loss
+
+    x = jnp.asarray(rng.normal(size=(B, C, T)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    sids = jnp.zeros((B,), jnp.int32)
+    model = build_encoder("atms")
+    variables = model.init(
+        {"params": jax.random.key(0)}, x, sids, deterministic=True
+    )
+
+    def loss_fn(params):
+        (feats, scale), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x,
+            sids,
+            deterministic=False,
+            rngs={"dropout": jax.random.key(1)},
+            mutable=["batch_stats"],
+        )
+        return clip_loss(feats, y, scale)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    zero_grads = [
+        path
+        for path, g in jax.tree_util.tree_leaves_with_path(grads)
+        if float(jnp.max(jnp.abs(g))) == 0.0
+    ]
+    # only the out-of-range shared-token fallback may be untouched
+    names = [jax.tree_util.keystr(p) for p in zero_grads]
+    allowed = {"shared_embedding"}
+    bad = [n for n in names if not any(a in n for a in allowed)]
+    assert not bad, f"params with zero grads: {bad}"
+
+
+def test_atms_train_mode_updates_batch_stats(rng):
+    x = jnp.asarray(rng.normal(size=(B, C, T)).astype(np.float32))
+    sids = jnp.zeros((B,), jnp.int32)
+    model = build_encoder("atms")
+    variables = model.init(jax.random.key(0), x, sids, deterministic=True)
+    _, updates = model.apply(
+        variables,
+        x,
+        sids,
+        deterministic=False,
+        rngs={"dropout": jax.random.key(1)},
+        mutable=["batch_stats"],
+    )
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(updates["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(after, before)
+    )
+
+
+def test_tsconv_token_count_matches_reference():
+    """(250-25+1)=226 → pool(51, stride 5) → 36 tokens → flatten 36*40=1440
+    (ref Proj_eeg embedding_dim=1440, ATMS_retrieval.py:158)."""
+    from eeg_image_decode_tpu.models.layers import TSConv
+
+    x = jnp.zeros((2, 63, 250))
+    m = TSConv()
+    v = m.init(jax.random.key(0), x, deterministic=True)
+    out = m.apply(v, x, deterministic=True)
+    assert out.shape == (2, 36, 40)
+
+
+def test_logit_scale_init_value():
+    model = build_encoder("nice")
+    v = model.init(jax.random.key(0), jnp.zeros((1, C, T)), deterministic=True)
+    s = v["params"]["logit_scale"]["logit_scale"]
+    np.testing.assert_allclose(float(s), np.log(1 / 0.07), rtol=1e-6)
+
+
+def test_registry_rejects_unknown():
+    with pytest.raises(KeyError):
+        build_encoder("resnet50")
