@@ -1,0 +1,5 @@
+from eeg_image_decode_tpu.data.things_eeg import (  # noqa: F401
+    EEGRetrievalData,
+    load_things_eeg_subject,
+)
+from eeg_image_decode_tpu.data.synthetic import make_synthetic_retrieval_data  # noqa: F401

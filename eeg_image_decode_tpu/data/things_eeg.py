@@ -1,0 +1,213 @@
+"""THINGS-EEG dataset ingestion — the EEGDataset equivalents.
+
+Rebuilds the four dataset variants (SURVEY.md C4-C7;
+``Retrieval/eegdatasets_leaveone.py``, ``Retrieval/eegdatasets_joint_subjects.py``,
+``Generation/eegdatasets_leaveone.py``,
+``Generation/eegdatasets_leaveone_latent_vae_no_average.py``) as one loader
+with flags, producing flat device-ready arrays instead of a torch Dataset:
+
+- train: per subject, (1654 classes × 10 images × 4 reps) epochs flattened to
+  (66160, 63, 250) with labels repeat-interleaved ×4
+  (ref ``eegdatasets_leaveone.py:236-258``)
+- test: 200 classes × 1 image × 80 reps, averaged over reps by default
+  (ref ``:220``), or kept un-averaged for the VAE low-level pipeline
+  (ref ``..._latent_vae_no_average.py:215-236``)
+- time-window slice [0, 1.0] s via the stored ``times`` vector
+  (ref ``:280-294``)
+- per-sample image/text feature indices precomputed on the host — the
+  reference's per-item index arithmetic (``:326-375``) becomes two int32
+  arrays so batches are pure gathers inside jit.
+
+The file format is identical to the reference's output
+(``preprocessing_utils.py:241-258``): a pickled dict per subject with keys
+``preprocessed_eeg_data``, ``ch_names``, ``times``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class EEGRetrievalData:
+    """Flat, device-ready view of one retrieval dataset split (possibly
+    multi-subject)."""
+
+    eeg: np.ndarray  # (N, C, T) float32
+    labels: np.ndarray  # (N,) int32 class ids
+    subject_ids: np.ndarray  # (N,) int32
+    img_idx: np.ndarray  # (N,) int32 index into img_features
+    text_idx: np.ndarray  # (N,) int32 index into text_features
+    img_features: np.ndarray  # (n_imgs, D) float32
+    text_features: np.ndarray  # (n_cls, D) float32
+    n_classes: int
+    images_per_class: int = 1
+    #: class-level image features, one per class (train probe uses
+    #: img_features_all[::10] — ref ``ATMS_retrieval.py:202``)
+    extras: dict = field(default_factory=dict)
+
+    @property
+    def n(self) -> int:
+        return self.eeg.shape[0]
+
+    def class_img_features(self) -> np.ndarray:
+        return self.img_features[:: self.images_per_class]
+
+
+def extract_subject_id(sub: str) -> int:
+    """'sub-08' → 8 (ref ``ATMS_retrieval.py:193-197``)."""
+    m = re.search(r"\d+$", sub)
+    return int(m.group()) if m else -1
+
+
+def _load_subject_file(data_path: str, subject: str, train: bool) -> dict:
+    name = "preprocessed_eeg_training.npy" if train else "preprocessed_eeg_test.npy"
+    path = os.path.join(data_path, subject, name)
+    raw = np.load(path, allow_pickle=True)
+    # the reference pickles a dict into a .npy filename
+    # (preprocessing_utils.py:256-258); np.load unpickles it directly, but
+    # tolerate a 0-d object array from np.save(dict) too
+    if isinstance(raw, np.ndarray):
+        raw = raw.item()
+    return raw
+
+
+def _time_window_mask(
+    times: np.ndarray, window: tuple[float, float], data_t: int
+) -> np.ndarray:
+    # the reference drops the first 50 post-epoch samples before saving but
+    # stores the full `times`, then slices times[50:] at load
+    # (``eegdatasets_leaveone.py:161``); replicate the skip when the stored
+    # grid is longer than the data's time axis.
+    t = np.asarray(times)
+    if t.shape[0] == data_t + 50:
+        t = t[50:]
+    return (t >= window[0]) & (t <= window[1])
+
+
+def load_things_eeg_subject(
+    data_path: str,
+    subject: str,
+    *,
+    train: bool,
+    time_window: tuple[float, float] = (0.0, 1.0),
+    average_test_reps: bool = True,
+    dtype=np.float32,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Load one subject's epochs → (eeg, labels).
+
+    train: (n_cls*10*4, C, T'), labels repeat-interleaved;
+    test averaged: (200, C, T'); un-averaged: (200*80, C, T').
+    """
+    raw = _load_subject_file(data_path, subject, train)
+    data = np.asarray(raw["preprocessed_eeg_data"], dtype=dtype)
+    mask = _time_window_mask(raw["times"], time_window, data.shape[-1])
+    if mask.shape[0] == data.shape[-1]:
+        data = data[..., mask]
+
+    if train:
+        # (n_cls*10, reps=4, C, T) stored flat in class-major order
+        n_cond, n_rep = data.shape[0], data.shape[1]
+        eeg = data.reshape(n_cond * n_rep, *data.shape[2:])
+        n_img_per_cls = 10
+        n_cls = n_cond // n_img_per_cls
+        labels = np.repeat(np.arange(n_cls, dtype=np.int32), n_img_per_cls * n_rep)
+        return eeg, labels
+    # test: (200, 80, C, T)
+    n_cls = data.shape[0]
+    if average_test_reps:
+        eeg = data.mean(axis=1)
+        labels = np.arange(n_cls, dtype=np.int32)
+    else:
+        eeg = data.reshape(-1, *data.shape[2:])
+        labels = np.repeat(np.arange(n_cls, dtype=np.int32), data.shape[1])
+    return eeg, labels
+
+
+def build_retrieval_data(
+    data_path: str,
+    subjects: list[str],
+    *,
+    train: bool,
+    img_features: np.ndarray,
+    text_features: np.ndarray,
+    exclude_subject: str | None = None,
+    time_window: tuple[float, float] = (0.0, 1.0),
+    average_test_reps: bool = True,
+    images_per_class: int = 10,
+    train_reps: int = 4,
+) -> EEGRetrievalData:
+    """Multi-subject concatenation with the reference's leave-one semantics:
+    train skips ``exclude_subject`` (``eegdatasets_leaveone.py:153-154``);
+    test keeps only it (or all when None)."""
+    eeg_list, label_list, sid_list = [], [], []
+    for sub in subjects:
+        if train and sub == exclude_subject:
+            continue
+        if not train and exclude_subject is not None and sub != exclude_subject:
+            continue
+        eeg, labels = load_things_eeg_subject(
+            data_path,
+            sub,
+            train=train,
+            time_window=time_window,
+            average_test_reps=average_test_reps,
+        )
+        eeg_list.append(eeg)
+        label_list.append(labels)
+        sid_list.append(
+            np.full(eeg.shape[0], extract_subject_id(sub), dtype=np.int32)
+        )
+    eeg = np.concatenate(eeg_list, axis=0)
+    labels = np.concatenate(label_list, axis=0)
+    sids = np.concatenate(sid_list, axis=0)
+
+    if train:
+        # per-subject block layout: index i within a subject block maps to
+        # text_idx = (i % block) // (10*4), img_idx = (i % block) // 4
+        # (ref ``eegdatasets_leaveone.py:326-360``)
+        block = labels.shape[0] // len(eeg_list)
+        local = np.arange(labels.shape[0]) % block
+        text_idx = (local // (images_per_class * train_reps)).astype(np.int32)
+        img_idx = (local // train_reps).astype(np.int32)
+        ipc = images_per_class
+    else:
+        block = labels.shape[0] // len(eeg_list)
+        local = np.arange(labels.shape[0]) % block
+        reps = 1 if average_test_reps else 80
+        text_idx = (local // reps).astype(np.int32)
+        img_idx = text_idx.copy()
+        ipc = 1
+
+    return EEGRetrievalData(
+        eeg=eeg,
+        labels=labels.astype(np.int32),
+        subject_ids=sids,
+        img_idx=img_idx,
+        text_idx=text_idx,
+        img_features=np.asarray(img_features, np.float32),
+        text_features=np.asarray(text_features, np.float32),
+        n_classes=int(labels.max()) + 1,
+        images_per_class=ipc,
+    )
+
+
+def list_image_classes(img_directory: str) -> tuple[list[str], list[str]]:
+    """Sorted class folders → (folder names, text prompts). Prompt template
+    'This picture is {description}' (ref ``eegdatasets_leaveone.py:96-105``)."""
+    dirs = sorted(
+        d
+        for d in os.listdir(img_directory)
+        if os.path.isdir(os.path.join(img_directory, d))
+    )
+    prompts = []
+    for d in dirs:
+        if "_" not in d:
+            continue
+        desc = d[d.index("_") + 1 :]
+        prompts.append(f"This picture is {desc}")
+    return dirs, prompts

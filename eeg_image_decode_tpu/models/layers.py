@@ -52,10 +52,13 @@ class TSConv(nn.Module):
     def __call__(self, x: jax.Array, *, deterministic: bool) -> jax.Array:
         # (B, C, T) → NHWC (B, C, T, 1)
         x = x[..., None].astype(self.dtype)
+        # no conv bias ahead of BatchNorm: BN's mean-subtraction makes it a
+        # functional no-op whose ~0 gradient only injects optimizer noise
         x = nn.Conv(
             self.filters,
             kernel_size=(1, self.temporal_kernel),
             padding="VALID",
+            use_bias=False,
             dtype=self.dtype,
             name="temporal_conv",
         )(x)
@@ -71,6 +74,7 @@ class TSConv(nn.Module):
             self.filters,
             kernel_size=(self.spatial_extent, 1),
             padding="VALID",
+            use_bias=False,
             dtype=self.dtype,
             name="spatial_conv",
         )(x)

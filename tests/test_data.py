@@ -1,0 +1,134 @@
+"""Data pipeline tests: reference file-format ingestion + index arithmetic."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from eeg_image_decode_tpu.data.things_eeg import (
+    build_retrieval_data,
+    extract_subject_id,
+    load_things_eeg_subject,
+)
+from eeg_image_decode_tpu.data.features import (
+    cache_path,
+    load_features,
+    save_features,
+)
+
+
+def _write_subject(tmp_path, subject, *, n_cls, train, reps, C=63, T=300):
+    """Write a pickled dict in the reference's preprocessing output format
+    (preprocessing_utils.py:241-258): (conditions, reps, C, T) + times incl.
+    the 50 pre-stimulus samples."""
+    rng = np.random.default_rng(hash(subject) % 2**32)
+    n_cond = n_cls * (10 if train else 1)
+    data = rng.normal(size=(n_cond, reps, C, T)).astype(np.float32)
+    # stored `times` includes the 50 pre-stimulus samples the loader skips;
+    # the post-skip grid spans exactly [0, 1.0] like the real 250 Hz output
+    times = np.concatenate(
+        [np.linspace(-0.2, 0.0, 50, endpoint=False), np.linspace(0.0, 1.0, T)]
+    )
+    d = {
+        "preprocessed_eeg_data": data,
+        "ch_names": [f"ch{i}" for i in range(C)],
+        "times": times,
+    }
+    sub_dir = tmp_path / subject
+    os.makedirs(sub_dir, exist_ok=True)
+    name = "preprocessed_eeg_training.npy" if train else "preprocessed_eeg_test.npy"
+    with open(sub_dir / name, "wb") as f:
+        pickle.dump(d, f, protocol=4)
+    return data
+
+
+@pytest.fixture
+def fake_things(tmp_path):
+    n_cls = 6
+    for sub in ("sub-01", "sub-02"):
+        _write_subject(tmp_path, sub, n_cls=n_cls, train=True, reps=4)
+        _write_subject(tmp_path, sub, n_cls=n_cls, train=False, reps=8)
+    return tmp_path, n_cls
+
+
+def test_load_train_flattens_reps(fake_things):
+    path, n_cls = fake_things
+    eeg, labels = load_things_eeg_subject(str(path), "sub-01", train=True)
+    assert eeg.shape[0] == n_cls * 10 * 4
+    assert labels.shape == (n_cls * 10 * 4,)
+    # labels repeat-interleaved over images*reps (ref :236-258)
+    np.testing.assert_array_equal(labels[: 10 * 4], 0)
+    np.testing.assert_array_equal(labels[10 * 4 : 20 * 4], 1)
+
+
+def test_load_test_averages_reps(fake_things):
+    path, n_cls = fake_things
+    eeg, labels = load_things_eeg_subject(str(path), "sub-01", train=False)
+    assert eeg.shape[0] == n_cls
+    with open(path / "sub-01" / "preprocessed_eeg_test.npy", "rb") as f:
+        raw = pickle.load(f)["preprocessed_eeg_data"]
+    # time-window [0, 1.0] keeps all stored samples here
+    np.testing.assert_allclose(eeg[0], raw[0].mean(axis=0), rtol=1e-6)
+
+
+def test_load_test_unaveraged(fake_things):
+    path, n_cls = fake_things
+    eeg, labels = load_things_eeg_subject(
+        str(path), "sub-01", train=False, average_test_reps=False
+    )
+    assert eeg.shape[0] == n_cls * 8
+    np.testing.assert_array_equal(labels[:8], 0)
+
+
+def test_build_retrieval_data_index_arithmetic(fake_things):
+    path, n_cls = fake_things
+    D = 16
+    img = np.random.default_rng(0).normal(size=(n_cls * 10, D)).astype(np.float32)
+    txt = np.random.default_rng(1).normal(size=(n_cls, D)).astype(np.float32)
+    data = build_retrieval_data(
+        str(path), ["sub-01"], train=True, img_features=img, text_features=txt
+    )
+    # sample i: img_idx = i//4, text_idx = i//40 (ref :326-360)
+    assert data.img_idx[0] == 0 and data.img_idx[4] == 1
+    assert data.text_idx[39] == 0 and data.text_idx[40] == 1
+    # labels must agree with text_idx (both are the class id)
+    np.testing.assert_array_equal(data.labels, data.text_idx)
+    assert data.class_img_features().shape == (n_cls, D)
+    np.testing.assert_array_equal(data.class_img_features()[1], img[10])
+
+
+def test_leave_one_subject_semantics(fake_things):
+    path, n_cls = fake_things
+    img = np.zeros((n_cls * 10, 4), np.float32)
+    txt = np.zeros((n_cls, 4), np.float32)
+    train = build_retrieval_data(
+        str(path), ["sub-01", "sub-02"], train=True,
+        img_features=img, text_features=txt, exclude_subject="sub-02",
+    )
+    assert set(np.unique(train.subject_ids)) == {1}
+    test = build_retrieval_data(
+        str(path), ["sub-01", "sub-02"], train=False,
+        img_features=img, text_features=txt, exclude_subject="sub-02",
+    )
+    assert set(np.unique(test.subject_ids)) == {2}
+
+
+def test_extract_subject_id():
+    assert extract_subject_id("sub-08") == 8
+    assert extract_subject_id("sub-10") == 10
+    assert extract_subject_id("nodigits") == -1
+
+
+def test_feature_cache_content_keyed(tmp_path):
+    imgs = ["a.jpg", "b.jpg"]
+    p1 = cache_path(str(tmp_path), "ViT-H-14", "train", imgs)
+    p2 = cache_path(str(tmp_path), "ViT-H-14", "train", ["a.jpg", "c.jpg"])
+    assert p1 != p2  # different image lists → different cache files
+    save_features(
+        p1,
+        img_features=np.ones((2, 4), np.float32),
+        text_features=np.zeros((1, 4), np.float32),
+    )
+    loaded = load_features(p1)
+    np.testing.assert_array_equal(loaded["img_features"], np.ones((2, 4)))

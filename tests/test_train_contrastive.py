@@ -1,0 +1,99 @@
+"""End-to-end contrastive training on synthetic THINGS-EEG-shaped data —
+the integration layer of the test pyramid (SURVEY.md §4): data → model →
+loss → scan-epoch → eval, on CPU and on the 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eeg_image_decode_tpu.core.config import ATMSConfig, ContrastiveTrainConfig
+from eeg_image_decode_tpu.data import make_synthetic_retrieval_data
+from eeg_image_decode_tpu.models import build_encoder
+from eeg_image_decode_tpu.train import ContrastiveTrainer
+
+
+def _small_data():
+    return make_synthetic_retrieval_data(
+        n_classes=16, images_per_class=4, train_reps=2, n_timepoints=250,
+        clip_dim=64, snr=2.0,
+    )
+
+
+def test_nice_learns_above_chance():
+    train, test = _small_data()
+    cfg = ContrastiveTrainConfig(
+        encoder="nice", batch_size=32, epochs=4, lr=1e-3,
+        eval_ks=(2, 4, 16), seed=0,
+    )
+    model = build_encoder("nice", proj_dim=64)
+    trainer = ContrastiveTrainer(model, cfg, train, test)
+    history = trainer.fit(log_fn=None)
+    final = history[-1]
+    # chance for 16-way is 1/16 = 0.0625; synthetic SNR makes this easy
+    assert final["top1_k16"] > 0.3, final
+    assert final["loss"] < history[0]["loss"]
+
+
+def test_atms_learns_above_chance():
+    train, test = _small_data()
+    cfg = ContrastiveTrainConfig(
+        encoder="atms", batch_size=32, epochs=3, lr=1e-3,
+        eval_ks=(2, 16), seed=0,
+    )
+    model = build_encoder("atms", config=ATMSConfig(proj_dim=64))
+    trainer = ContrastiveTrainer(model, cfg, train, test)
+    history = trainer.fit(log_fn=None)
+    assert history[-1]["top1_k16"] > 0.25, history[-1]
+    assert history[-1]["top1_k2"] > 0.6, history[-1]
+
+
+def test_training_on_mesh_matches_single_device(mesh8):
+    """The same training run on the 8-device mesh and on one device must
+    produce (numerically close) identical parameters: GSPMD data parallelism
+    is semantics-preserving, unlike reference DDP which changes the loss with
+    world size."""
+    train, test = _small_data()
+    cfg = ContrastiveTrainConfig(
+        encoder="nice", batch_size=32, epochs=1, lr=1e-3, eval_ks=(16,), seed=3,
+    )
+    model = build_encoder("nice", proj_dim=64)
+
+    t1 = ContrastiveTrainer(model, cfg, train, test)
+    t1.fit(log_fn=None)
+    t8 = ContrastiveTrainer(model, cfg, train, test, mesh=mesh8)
+    t8.fit(log_fn=None)
+
+    p1 = jax.device_get(t1.state.params)
+    p8 = jax.device_get(t8.state.params)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat8 = jax.tree_util.tree_leaves(p8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+
+
+def test_recon_loss_variant_trains():
+    train, test = _small_data()
+    cfg = ContrastiveTrainConfig(
+        encoder="nice", batch_size=32, epochs=2, lr=1e-3, recon_loss=True,
+        eval_ks=(16,), seed=1,
+    )
+    model = build_encoder("nice", proj_dim=64)
+    trainer = ContrastiveTrainer(model, cfg, train, test)
+    history = trainer.fit(log_fn=None)
+    assert history[-1]["loss"] < history[0]["loss"]
+
+
+def test_metrics_csv_written(tmp_path):
+    train, test = _small_data()
+    cfg = ContrastiveTrainConfig(
+        encoder="nice", batch_size=32, epochs=1, eval_ks=(16,), seed=2,
+    )
+    model = build_encoder("nice", proj_dim=64)
+    trainer = ContrastiveTrainer(
+        model, cfg, train, test, output_dir=str(tmp_path)
+    )
+    trainer.fit(log_fn=None)
+    csv_path = tmp_path / "results.csv"
+    assert csv_path.exists()
+    header = csv_path.read_text().splitlines()[0]
+    assert "loss" in header and "top1_k16" in header
