@@ -1,0 +1,158 @@
+"""Diffusion prior: EEG embedding → CLIP image-embedding space.
+
+Rebuilds ``Generation/diffusion_prior.py:12-203``:
+
+- ``DiffusionPriorMLP`` — the flat resblock variant (``DiffusionPrior``,
+  ref ``:12-89``).
+- ``DiffusionPriorUNet`` — the one actually used (ref ``:92-203``): an MLP
+  "U-Net" over widths (1024, 512, 256, 128, 64); every encoder/decoder stage
+  injects a stage-specific timestep embedding + conditional projection
+  additively, decoder stages add U-skips from the encoder.
+
+Time embedding matches diffusers' ``Timesteps(512, flip_sin_to_cos=True,
+downscale_freq_shift=0)`` + per-stage ``TimestepEmbedding`` (Linear→SiLU→
+Linear), which the reference imports (``:8,29,110``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from eeg_image_decode_tpu.models.layers import MLPBlock
+
+
+def timestep_embedding(
+    t: jax.Array, dim: int, *, max_period: float = 10000.0
+) -> jax.Array:
+    """Sinusoidal features, diffusers layout: [cos | sin] halves
+    (flip_sin_to_cos=True, downscale_freq_shift=0)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -np.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class TimestepMLP(nn.Module):
+    """diffusers ``TimestepEmbedding``: Linear → SiLU → Linear."""
+
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_feats: jax.Array) -> jax.Array:
+        h = nn.Dense(self.out_dim, dtype=self.dtype, name="fc1")(t_feats)
+        h = nn.silu(h)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(h)
+
+
+class DiffusionPriorUNet(nn.Module):
+    embed_dim: int = 1024
+    cond_dim: int = 1024
+    hidden_dims: tuple[int, ...] = (1024, 512, 256, 128, 64)
+    time_embed_dim: int = 512
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        t: jax.Array,
+        cond: jax.Array | None = None,
+        cond_mask: jax.Array | None = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """``cond_mask`` (B,) ∈ {0,1} gates the conditional injections per
+        sample — mask 0 is *exactly* the reference's ``c=None`` branch (the
+        cond Linear, bias included, contributes nothing), which makes
+        classifier-free guidance a single batched forward and the 10%
+        cond-dropout (ref ``:303-305``) a traced op instead of Python
+        branching."""
+        dims = self.hidden_dims
+        n = len(dims)
+        t_feats = timestep_embedding(t, self.time_embed_dim)
+        if cond is not None and cond_mask is not None:
+            gate = cond_mask.astype(self.dtype)[:, None]
+        else:
+            gate = None
+
+        def inject_cond(h, width, name):
+            if cond is None:
+                return h
+            proj = nn.Dense(width, dtype=self.dtype, name=name)(
+                cond.astype(self.dtype)
+            )
+            if gate is not None:
+                proj = proj * gate
+            return h + proj
+
+        x = x.astype(self.dtype)
+        h = nn.Dense(dims[0], dtype=self.dtype, name="input_dense")(x)
+        h = nn.LayerNorm(dtype=jnp.float32, name="input_ln")(h)
+        h = nn.silu(h)
+
+        skips = []
+        for i in range(n - 1):
+            skips.append(h)
+            t_emb = TimestepMLP(dims[i], dtype=self.dtype,
+                                name=f"enc_time_{i}")(t_feats)
+            h = inject_cond(h + t_emb, dims[i], f"enc_cond_{i}")
+            h = MLPBlock(dims[i + 1], dropout=self.dropout, dtype=self.dtype,
+                         name=f"enc_layer_{i}")(h, deterministic=deterministic)
+
+        for j, i in enumerate(range(n - 1, 0, -1)):
+            t_emb = TimestepMLP(dims[i], dtype=self.dtype,
+                                name=f"dec_time_{j}")(t_feats)
+            h = inject_cond(h + t_emb, dims[i], f"dec_cond_{j}")
+            h = MLPBlock(dims[i - 1], dropout=self.dropout, dtype=self.dtype,
+                         name=f"dec_layer_{j}")(h, deterministic=deterministic)
+            h = h + skips[-1 - j]
+
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="output_dense")(h)
+
+
+class DiffusionPriorMLP(nn.Module):
+    """Flat residual-MLP variant (ref ``DiffusionPrior``, :12-89)."""
+
+    embed_dim: int = 1024
+    cond_dim: int = 1024
+    hidden_dim: int = 1024
+    layers_per_block: int = 4
+    time_embed_dim: int = 512
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, cond=None, *, deterministic: bool = True):
+        t_feats = timestep_embedding(t, self.time_embed_dim)
+        t_emb = TimestepMLP(self.hidden_dim, dtype=self.dtype,
+                            name="time_mlp")(t_feats)
+        c_emb = (
+            nn.Dense(self.hidden_dim, dtype=self.dtype, name="cond_dense")(
+                cond.astype(self.dtype)
+            )
+            if cond is not None
+            else 0.0
+        )
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="input_dense")(
+            x.astype(self.dtype)
+        )
+        h = nn.LayerNorm(dtype=jnp.float32, name="input_ln")(h)
+        h = nn.silu(h)
+        for i in range(self.layers_per_block):
+            h = h + t_emb + c_emb
+            h = (
+                MLPBlock(self.hidden_dim, dropout=self.dropout,
+                         dtype=self.dtype, name=f"block_{i}")(
+                    h, deterministic=deterministic
+                )
+                + h
+            )
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="output_dense")(h)

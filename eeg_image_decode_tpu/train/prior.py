@@ -1,0 +1,224 @@
+"""Diffusion-prior trainer + sampling pipe.
+
+Rebuilds ``Pipe`` (``Generation/diffusion_prior.py:268-378``):
+
+- train: ε-prediction MSE on DDPM-noised CLIP image embeddings conditioned on
+  EEG features; Adam 1e-3, linear-warmup(500)-cosine schedule over the full
+  run, global grad-norm clip 1.0, 10% per-batch cond dropout (``:282-338``).
+- generate: 50-step CFG sampling, guidance 5.0 (``:340-378``) — here a single
+  ``lax.scan`` with batched cond/uncond (see ``ops/ddpm.py``).
+
+The training pairs (EEG feature, CLIP image embedding ×4 reps) mirror
+``EmbeddingDataset`` + the ×4 expansion (``:206-237``;
+``Generation_metrics_sub8.ipynb`` cell 5). Whole-dataset-in-HBM scan epochs,
+like the contrastive trainer.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from eeg_image_decode_tpu.core.config import PriorConfig
+from eeg_image_decode_tpu.models.diffusion_prior import DiffusionPriorUNet
+from eeg_image_decode_tpu.ops.ddpm import DDPMSchedule, make_cfg_sampler
+
+
+class PriorState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+class PriorPipe:
+    """Train + sample wrapper around DiffusionPriorUNet (the reference's
+    ``Pipe``)."""
+
+    def __init__(
+        self,
+        cfg: PriorConfig = PriorConfig(),
+        *,
+        model: DiffusionPriorUNet | None = None,
+        total_steps: int | None = None,
+    ):
+        self.cfg = cfg
+        self.model = model or DiffusionPriorUNet(
+            embed_dim=cfg.embed_dim,
+            cond_dim=cfg.cond_dim,
+            hidden_dims=tuple(cfg.hidden_dims),
+            time_embed_dim=cfg.time_embed_dim,
+            dropout=cfg.dropout,
+        )
+        self.schedule = DDPMSchedule(num_train_timesteps=cfg.num_train_timesteps)
+        self.state: PriorState | None = None
+        self._total_steps = total_steps
+
+    # — initialization —
+    def init(self, total_steps: int, seed: int | None = None) -> PriorState:
+        cfg = self.cfg
+        x = jnp.zeros((2, cfg.embed_dim))
+        t = jnp.zeros((2,), jnp.int32)
+        c = jnp.zeros((2, cfg.cond_dim))
+        m = jnp.ones((2,), jnp.float32)
+        variables = self.model.init(
+            jax.random.key(cfg.seed if seed is None else seed), x, t, c, m
+        )
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.lr,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=max(total_steps, cfg.warmup_steps + 1),
+            end_value=0.0,
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip_norm),
+            optax.adam(schedule),
+        )
+        self.state = PriorState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            opt_state=self.tx.init(variables["params"]),
+        )
+        self._epoch_fn = self._make_epoch_fn()
+        return self.state
+
+    def _make_epoch_fn(self):
+        cfg, model, schedule, tx = self.cfg, self.model, self.schedule, self.tx
+
+        def loss_fn(params, h_emb, c_emb, t, noise, cond_mask, dropout_key):
+            noisy = schedule.add_noise(h_emb, noise, t)
+            eps = model.apply(
+                {"params": params},
+                noisy,
+                t,
+                c_emb,
+                cond_mask,
+                deterministic=False,
+                rngs={"dropout": dropout_key},
+            )
+            return jnp.mean((eps.astype(jnp.float32) - noise) ** 2)
+
+        def train_step(state: PriorState, idx, c_all, h_all, base_key):
+            h = jnp.take(h_all, idx, axis=0)
+            c = jnp.take(c_all, idx, axis=0)
+            key = jax.random.fold_in(base_key, state.step)
+            k_drop, k_noise, k_t, k_dropout = jax.random.split(key, 4)
+            # whole-batch cond dropout with p=0.1 (ref :303-305)
+            keep = (jax.random.uniform(k_drop) >= cfg.cond_dropout_prob).astype(
+                jnp.float32
+            )
+            cond_mask = jnp.full((h.shape[0],), keep)
+            noise = jax.random.normal(k_noise, h.shape, jnp.float32)
+            t = jax.random.randint(
+                k_t, (h.shape[0],), 0, cfg.num_train_timesteps
+            )
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, h, c, t, noise, cond_mask, k_dropout
+            )
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return (
+                state.replace(
+                    step=state.step + 1, params=new_params, opt_state=new_opt
+                ),
+                {"loss": loss},
+            )
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def epoch_fn(state, c_all, h_all, perm, key):
+            step = partial(train_step, c_all=c_all, h_all=h_all, base_key=key)
+            state, metrics = jax.lax.scan(step, state, perm)
+            return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+        return epoch_fn
+
+    # — training —
+    def train(
+        self,
+        c_embeddings: np.ndarray,
+        h_embeddings: np.ndarray,
+        *,
+        epochs: int | None = None,
+        batch_size: int | None = None,
+        log_fn=print,
+    ) -> list[dict]:
+        cfg = self.cfg
+        epochs = epochs or cfg.epochs
+        batch_size = batch_size or cfg.batch_size
+        n = c_embeddings.shape[0]
+        batch_size = min(batch_size, n)
+        n_steps = max(n // batch_size, 1)
+        if self.state is None:
+            self.init(total_steps=n_steps * epochs)
+
+        c_all = jax.device_put(jnp.asarray(c_embeddings, jnp.float32))
+        h_all = jax.device_put(jnp.asarray(h_embeddings, jnp.float32))
+        history = []
+        for epoch in range(epochs):
+            rng = np.random.default_rng(cfg.seed * 9176 + epoch)
+            perm = jnp.asarray(
+                rng.permutation(n)[: n_steps * batch_size]
+                .reshape(n_steps, batch_size)
+                .astype(np.int32)
+            )
+            t0 = time.perf_counter()
+            self.state, metrics = self._epoch_fn(
+                self.state, c_all, h_all, perm, jax.random.key(cfg.seed + epoch)
+            )
+            loss = float(metrics["loss"])
+            dt = time.perf_counter() - t0
+            history.append({"epoch": epoch, "loss": loss, "epoch_time_s": dt})
+            if log_fn and (epoch % max(1, epochs // 20) == 0 or epoch == epochs - 1):
+                log_fn(f"prior epoch {epoch}: loss={loss:.4f} ({dt:.2f}s)")
+        return history
+
+    # — sampling —
+    def generate(
+        self,
+        c_embeds: jax.Array,
+        *,
+        num_inference_steps: int | None = None,
+        guidance_scale: float | None = None,
+        key: jax.Array | None = None,
+    ) -> jax.Array:
+        """EEG features → sampled CLIP image embeddings (N, embed_dim)."""
+        assert self.state is not None, "train or load the prior first"
+        cfg = self.cfg
+        steps = num_inference_steps or cfg.num_inference_steps
+        scale = cfg.guidance_scale if guidance_scale is None else guidance_scale
+        params = self.state.params
+
+        def denoise(x, t, cond, cond_mask):
+            return self.model.apply(
+                {"params": params}, x, t, cond, cond_mask, deterministic=True
+            )
+
+        sampler = make_cfg_sampler(
+            denoise, self.schedule,
+            num_inference_steps=steps, guidance_scale=scale,
+        )
+        if key is None:
+            key = jax.random.key(cfg.seed)
+        c = jnp.asarray(c_embeds, jnp.float32)
+        return sampler(key, c, (c.shape[0], cfg.embed_dim))
+
+
+def expand_image_embeddings(
+    img_embeddings: np.ndarray, n_classes: int, images_per_class: int, reps: int
+) -> np.ndarray:
+    """(n_cls*ipc, D) → (n_cls*ipc*reps, D): align one CLIP embedding with
+    each EEG repetition (ref ``emb_img_train.view(1654,10,1,1024).repeat
+    (1,1,4,1)``, Generation_metrics_sub8.ipynb cell 5)."""
+    d = img_embeddings.shape[-1]
+    x = img_embeddings.reshape(n_classes, images_per_class, 1, d)
+    return np.broadcast_to(
+        x, (n_classes, images_per_class, reps, d)
+    ).reshape(-1, d)
