@@ -1,0 +1,53 @@
+"""Low-level encoder: EEG → SDXL VAE latents (structural reconstruction).
+
+Rebuilds ``encoder_low_level``
+(``Generation/train_vae_latent_512_low_level_no_average.py:219-260``):
+subject-wise Linear 250→128 over the time axis, reshape the (63·128)=8064
+features to a 1×1 map, then a 7-stage ConvTranspose upsampler to the
+(4, 64, 64) SDXL latent. NHWC + ``jax.lax.conv_transpose``; BN in fp32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class EncoderLowLevel(nn.Module):
+    n_channels: int = 63
+    seq_len: int = 250
+    time_proj_dim: int = 128
+    latent_channels: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        subject_ids: jax.Array | None = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        del subject_ids  # the reference always indexes subject 0 (:258)
+        h = nn.Dense(self.time_proj_dim, dtype=self.dtype,
+                     name="subject_linear")(x.astype(self.dtype))
+        h = h.reshape(h.shape[0], 1, 1, self.n_channels * self.time_proj_dim)
+
+        # ConvTranspose ladder 1→2→4→8→16→32→64, then two 1×1 stages (ref
+        # :228-251); channels 8064→1024→512→256→128→64→32→16→4
+        for i, ch in enumerate((1024, 512, 256, 128, 64, 32)):
+            # SAME padding ≡ torch ConvTranspose2d(k=4, s=2, p=1): exact 2×
+            h = nn.ConvTranspose(
+                ch, kernel_size=(4, 4), strides=(2, 2), padding="SAME",
+                dtype=self.dtype, name=f"up_{i}",
+            )(h)
+            h = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+                             dtype=jnp.float32, name=f"bn_{i}")(h)
+            h = nn.relu(h)
+        h = nn.Conv(16, (1, 1), dtype=self.dtype, name="proj_16")(h)
+        h = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+                         dtype=jnp.float32, name="bn_proj")(h)
+        h = nn.relu(h)
+        return nn.Conv(self.latent_channels, (1, 1), dtype=self.dtype,
+                       name="proj_out")(h).astype(jnp.float32)

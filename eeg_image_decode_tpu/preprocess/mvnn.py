@@ -1,0 +1,85 @@
+"""Multivariate noise normalization (MVNN) — whitening by the inverse
+matrix square root of the average epoch covariance.
+
+Rebuilds ``EEG-preprocessing/preprocessing_utils.py:116-196`` without the
+MNE/sklearn/scipy dependency chain:
+
+- per-condition covariance = mean over epochs of the Ledoit-Wolf-shrunk
+  channel covariance of each epoch (``mvnn_dim='epochs'``, ref ``:173-177``;
+  LW is what sklearn's ``_cov(..., shrinkage='auto')`` computes)
+- session covariance = mean over conditions, **training partition only**
+  (ref ``:183`` — the author's fairness fix)
+- whitener = Σ^{-1/2} via symmetric eigendecomposition with clamped
+  eigenvalues (numerically safer than ``scipy.linalg.fractional_matrix_power``
+  on near-singular Σ — SURVEY.md §7 hard parts), fp64 on host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def ledoit_wolf_cov(x: np.ndarray) -> np.ndarray:
+    """Ledoit-Wolf shrunk covariance of (n_samples, n_features) data.
+
+    Implements the LW 2004 oracle-approximating shrinkage exactly as
+    sklearn's ``ledoit_wolf`` (validated against it in tests):
+    Σ_lw = (1−δ)·S + δ·μ·I with δ = min(β/Δ, 1).
+    """
+    x = np.asarray(x, np.float64)
+    n, p = x.shape
+    x = x - x.mean(axis=0, keepdims=True)
+    s = x.T @ x / n
+    mu = np.trace(s) / p
+
+    # Δ = ||S − μI||_F² / p
+    delta = ((s - mu * np.eye(p)) ** 2).sum() / p
+    # β̂ = (1/n²)·Σ_k ||x_k x_kᵀ − S||_F² / p, computed without the k-loop
+    x2 = x**2
+    beta_raw = (x2.T @ x2).sum() / n - (s**2).sum()
+    beta = beta_raw / (n * p)
+    shrinkage = 0.0 if delta == 0 else float(np.clip(beta / delta, 0.0, 1.0))
+    return (1.0 - shrinkage) * s + shrinkage * mu * np.eye(p)
+
+
+def matrix_inverse_sqrt(sigma: np.ndarray, eps: float = 1e-12) -> np.ndarray:
+    """Σ^{-1/2} for symmetric PSD Σ via eigh with eigenvalue clamping."""
+    sigma = np.asarray(sigma, np.float64)
+    sigma = 0.5 * (sigma + sigma.T)
+    w, v = np.linalg.eigh(sigma)
+    w = np.maximum(w, eps * w.max())
+    return (v * (w**-0.5)) @ v.T
+
+
+def session_covariance(epoched: np.ndarray) -> np.ndarray:
+    """(conditions, reps, C, T) → (C, C): LW cov per epoch (channels over
+    time samples), averaged over reps then conditions (ref ``:160-178``)."""
+    n_cond, n_rep, n_ch, _ = epoched.shape
+    sigma = np.zeros((n_ch, n_ch), np.float64)
+    for c in range(n_cond):
+        s_cond = np.zeros_like(sigma)
+        for r in range(n_rep):
+            s_cond += ledoit_wolf_cov(epoched[c, r].T)  # (T, C) samples
+        sigma += s_cond / n_rep
+    return sigma / n_cond
+
+
+def mvnn_whiten(
+    epoched_train: list[np.ndarray],
+    epoched_test: list[np.ndarray],
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Whiten each session's train+test epochs with that session's
+    train-partition Σ^{-1/2} (ref ``:148-193``). Input arrays are
+    (conditions, reps, C, T) per session."""
+    out_train, out_test = [], []
+    for tr, te in zip(epoched_train, epoched_test):
+        sigma_inv = matrix_inverse_sqrt(session_covariance(tr))
+
+        def whiten(x):
+            # (..., C, T): apply on the channel axis — (XᵀΣ^{-1/2})ᵀ = Σ^{-1/2}X
+            # since Σ^{-1/2} is symmetric (the ref's swapaxes dance, :188-193)
+            return np.einsum("ij,...jt->...it", sigma_inv, x).astype(x.dtype)
+
+        out_train.append(whiten(tr))
+        out_test.append(whiten(te))
+    return out_train, out_test

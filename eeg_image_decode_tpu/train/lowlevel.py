@@ -1,0 +1,152 @@
+"""Low-level (VAE-latent) trainer.
+
+Rebuilds the training loop of
+``Generation/train_vae_latent_512_low_level_no_average.py:265-344,490-545``:
+L1 regression from EEG epochs to cached SDXL VAE latents (un-averaged test
+reps, C7), AdamW 1e-3 with cosine annealing over the run, batch 30. Same
+whole-dataset-in-HBM scan-epoch design as the other trainers.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from eeg_image_decode_tpu.core.config import LowLevelConfig
+from eeg_image_decode_tpu.models.lowlevel import EncoderLowLevel
+
+
+class LowLevelState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class LowLevelTrainer:
+    def __init__(self, cfg: LowLevelConfig = LowLevelConfig(), *,
+                 model: EncoderLowLevel | None = None):
+        self.cfg = cfg
+        self.model = model or EncoderLowLevel(
+            n_channels=cfg.n_channels,
+            seq_len=cfg.seq_len,
+            time_proj_dim=cfg.time_proj_dim,
+            latent_channels=cfg.latent_shape[0],
+        )
+        self.state: LowLevelState | None = None
+
+    def init(self, total_steps: int, seed: int = 0) -> LowLevelState:
+        cfg = self.cfg
+        variables = self.model.init(
+            jax.random.key(seed),
+            jnp.zeros((2, cfg.n_channels, cfg.seq_len)),
+            deterministic=True,
+        )
+        schedule = optax.cosine_decay_schedule(cfg.lr, max(total_steps, 1))
+        self.tx = optax.adamw(schedule)
+        self.state = LowLevelState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(variables["params"]),
+        )
+        self._epoch_fn = self._make_epoch_fn()
+        return self.state
+
+    def _make_epoch_fn(self):
+        model, tx = self.model, self.tx
+
+        def loss_fn(params, batch_stats, eeg, latents):
+            pred, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                eeg,
+                deterministic=False,
+                mutable=["batch_stats"],
+            )
+            # latents arrive NHWC to match the model output
+            loss = jnp.mean(jnp.abs(pred - latents))  # L1 (ref :294)
+            return loss, updates["batch_stats"]
+
+        def train_step(state, idx, eeg_all, lat_all):
+            eeg = jnp.take(eeg_all, idx, axis=0)
+            lat = jnp.take(lat_all, idx, axis=0)
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, eeg, lat
+            )
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            return (
+                state.replace(
+                    step=state.step + 1,
+                    params=optax.apply_updates(state.params, updates),
+                    batch_stats=new_bs,
+                    opt_state=new_opt,
+                ),
+                {"loss": loss},
+            )
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def epoch_fn(state, eeg_all, lat_all, perm):
+            step = partial(train_step, eeg_all=eeg_all, lat_all=lat_all)
+            state, metrics = jax.lax.scan(step, state, perm)
+            return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+        return epoch_fn
+
+    def train(
+        self,
+        eeg: np.ndarray,
+        latents: np.ndarray,
+        *,
+        epochs: int | None = None,
+        batch_size: int | None = None,
+        seed: int = 0,
+        log_fn=print,
+    ) -> list[dict]:
+        """``latents`` accepted NCHW (the cached torch layout, (N,4,64,64)) or
+        NHWC; converted to NHWC internally."""
+        cfg = self.cfg
+        epochs = epochs or cfg.epochs
+        batch_size = min(batch_size or cfg.batch_size, eeg.shape[0])
+        if latents.ndim == 4 and latents.shape[1] == cfg.latent_shape[0]:
+            latents = np.moveaxis(latents, 1, -1)
+        n = eeg.shape[0]
+        n_steps = max(n // batch_size, 1)
+        if self.state is None:
+            self.init(total_steps=n_steps * epochs, seed=seed)
+        eeg_all = jax.device_put(jnp.asarray(eeg, jnp.float32))
+        lat_all = jax.device_put(jnp.asarray(latents, jnp.float32))
+        history = []
+        for epoch in range(epochs):
+            rng = np.random.default_rng(seed * 7907 + epoch)
+            perm = jnp.asarray(
+                rng.permutation(n)[: n_steps * batch_size]
+                .reshape(n_steps, batch_size)
+                .astype(np.int32)
+            )
+            t0 = time.perf_counter()
+            self.state, metrics = self._epoch_fn(self.state, eeg_all, lat_all, perm)
+            loss = float(metrics["loss"])
+            history.append(
+                {"epoch": epoch, "loss": loss,
+                 "epoch_time_s": time.perf_counter() - t0}
+            )
+            if log_fn and epoch % max(1, epochs // 10) == 0:
+                log_fn(f"lowlevel epoch {epoch}: L1={loss:.4f}")
+        return history
+
+    def predict(self, eeg: jax.Array) -> jax.Array:
+        """EEG → predicted VAE latents (N, 64, 64, 4 → NHWC)."""
+        assert self.state is not None
+        return self.model.apply(
+            {"params": self.state.params, "batch_stats": self.state.batch_stats},
+            jnp.asarray(eeg, jnp.float32),
+            deterministic=True,
+        )

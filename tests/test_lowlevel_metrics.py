@@ -1,0 +1,82 @@
+"""Low-level (VAE-latent) pipeline + reconstruction metric suite tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eeg_image_decode_tpu.core.config import LowLevelConfig
+from eeg_image_decode_tpu.eval.recon_metrics import (
+    feature_distance,
+    pixcorr,
+    reconstruction_metrics,
+    ssim,
+    two_way_identification,
+)
+from eeg_image_decode_tpu.models.lowlevel import EncoderLowLevel
+from eeg_image_decode_tpu.train.lowlevel import LowLevelTrainer
+
+
+def test_lowlevel_encoder_shape(rng):
+    model = EncoderLowLevel()
+    x = jnp.asarray(rng.normal(size=(2, 63, 250)).astype(np.float32))
+    v = model.init(jax.random.key(0), x, deterministic=True)
+    out = model.apply(v, x, deterministic=True)
+    assert out.shape == (2, 64, 64, 4)  # NHWC of the (4, 64, 64) SDXL latent
+
+
+def test_lowlevel_trainer_l1_decreases(rng):
+    cfg = LowLevelConfig(batch_size=8, epochs=6, lr=2e-3)
+    n = 16
+    eeg = rng.normal(size=(n, 63, 250)).astype(np.float32)
+    latents = rng.normal(size=(n, 4, 64, 64)).astype(np.float32) * 0.1  # NCHW cache layout
+    trainer = LowLevelTrainer(cfg)
+    history = trainer.train(eeg, latents, log_fn=None)
+    assert history[-1]["loss"] < history[0]["loss"]
+    pred = trainer.predict(eeg[:2])
+    assert pred.shape == (2, 64, 64, 4)
+
+
+def test_pixcorr_perfect_and_anticorrelated(rng):
+    a = jnp.asarray(rng.normal(size=(4, 8, 8, 3)).astype(np.float32))
+    np.testing.assert_allclose(float(pixcorr(a, a)), 1.0, atol=1e-5)
+    np.testing.assert_allclose(float(pixcorr(a, -a)), -1.0, atol=1e-5)
+
+
+def test_ssim_identity_and_noise(rng):
+    a = jnp.asarray(rng.uniform(0, 1, size=(2, 32, 32, 3)).astype(np.float32))
+    assert float(ssim(a, a)) > 0.999
+    b = jnp.asarray(rng.uniform(0, 1, size=(2, 32, 32, 3)).astype(np.float32))
+    assert float(ssim(a, b)) < 0.5
+
+
+def test_ssim_matches_reference_formula_on_shifted_images(rng):
+    """Sanity anchor: adding constant brightness keeps structure high."""
+    a = jnp.asarray(rng.uniform(0.2, 0.8, size=(1, 32, 32, 3)).astype(np.float32))
+    b = jnp.clip(a + 0.05, 0, 1)
+    assert float(ssim(a, b)) > 0.8
+
+
+def test_two_way_identification_extremes(rng):
+    feats = jnp.asarray(rng.normal(size=(10, 64)).astype(np.float32))
+    # identical features: every pair wins → 100%
+    assert float(two_way_identification(feats, feats)) == 1.0
+    # random vs random ≈ 50%
+    g = jnp.asarray(rng.normal(size=(200, 64)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(200, 64)).astype(np.float32))
+    assert abs(float(two_way_identification(g, t)) - 0.5) < 0.05
+
+
+def test_feature_distance_zero_for_identical(rng):
+    f = jnp.asarray(rng.normal(size=(5, 16)).astype(np.float32))
+    assert float(feature_distance(f, f)) < 1e-5
+
+
+def test_reconstruction_metrics_suite(rng):
+    gen = jnp.asarray(rng.uniform(0, 1, size=(6, 16, 16, 3)).astype(np.float32))
+    gt = jnp.clip(gen + 0.1 * rng.normal(size=gen.shape).astype(np.float32), 0, 1)
+    out = reconstruction_metrics(
+        gen, gt,
+        feature_extractors={"flat": lambda x: x.reshape(x.shape[0], -1)},
+    )
+    assert set(out) == {"pixcorr", "ssim", "2way_flat", "dist_flat"}
+    assert out["pixcorr"] > 0.8 and out["2way_flat"] > 0.9
