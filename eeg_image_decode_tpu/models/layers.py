@@ -46,25 +46,51 @@ class TSConv(nn.Module):
     emb_size: int = 40
     dropout: float = 0.5
     spatial_extent: int = 63  # electrodes covered by the spatial conv
+    #: fuse conv+avg-pool into one Pallas MXU kernel (see ops/tsconv.py);
+    #: 'auto' → on for TPU, off elsewhere
+    fused_stage1: bool | str = "auto"
     dtype: jnp.dtype = jnp.float32
+
+    def _use_fused(self) -> bool:
+        if self.fused_stage1 == "auto":
+            import jax
+
+            return jax.default_backend() == "tpu"
+        return bool(self.fused_stage1)
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool) -> jax.Array:
-        # (B, C, T) → NHWC (B, C, T, 1)
-        x = x[..., None].astype(self.dtype)
-        # no conv bias ahead of BatchNorm: BN's mean-subtraction makes it a
-        # functional no-op whose ~0 gradient only injects optimizer noise
-        x = nn.Conv(
-            self.filters,
-            kernel_size=(1, self.temporal_kernel),
-            padding="VALID",
-            use_bias=False,
-            dtype=self.dtype,
-            name="temporal_conv",
-        )(x)
-        x = nn.avg_pool(
-            x, window_shape=(1, self.pool_size), strides=(1, self.pool_stride)
-        )
+        if self._use_fused():
+            from eeg_image_decode_tpu.ops.tsconv import tsconv_stage1
+
+            # no conv bias ahead of BatchNorm (see below)
+            w = self.param(
+                "temporal_conv_kernel",
+                nn.initializers.lecun_normal(),
+                (self.temporal_kernel, self.filters),
+            )
+            x = tsconv_stage1(
+                x.astype(self.dtype),
+                w.astype(self.dtype),
+                pool_size=self.pool_size,
+                stride=self.pool_stride,
+            )  # (B, C, P, F) — same layout the unfused path produces
+        else:
+            # (B, C, T) → NHWC (B, C, T, 1)
+            x = x[..., None].astype(self.dtype)
+            # no conv bias ahead of BatchNorm: BN's mean-subtraction makes it
+            # a functional no-op whose ~0 gradient only injects optimizer noise
+            x = nn.Conv(
+                self.filters,
+                kernel_size=(1, self.temporal_kernel),
+                padding="VALID",
+                use_bias=False,
+                dtype=self.dtype,
+                name="temporal_conv",
+            )(x)
+            x = nn.avg_pool(
+                x, window_shape=(1, self.pool_size), strides=(1, self.pool_stride)
+            )
         x = nn.BatchNorm(
             use_running_average=deterministic, momentum=0.9, dtype=jnp.float32,
             name="bn1",
