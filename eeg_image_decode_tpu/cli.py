@@ -1,0 +1,326 @@
+"""Command-line interface.
+
+One entry point replaces the reference's six argparse scripts
+(``ATMS_retrieval.py``, ``ATMS_retrieval_joint_train.py``,
+``contrast_retrieval.py``, ``ATMS_reconstruction.py``, ``diffusion_prior``
+notebook cells, ``train_vae_latent_512_low_level_no_average.py``,
+``preprocessing.py``):
+
+    python -m eeg_image_decode_tpu.cli train-retrieval --encoder atms --subjects sub-01
+    python -m eeg_image_decode_tpu.cli train-retrieval --joint --test-subject sub-01
+    python -m eeg_image_decode_tpu.cli train-recon    --encoder atms --subjects sub-08
+    python -m eeg_image_decode_tpu.cli train-prior    --eeg-features f.npz --out prior/
+    python -m eeg_image_decode_tpu.cli train-lowlevel --subjects sub-08 --latents l.npz
+    python -m eeg_image_decode_tpu.cli preprocess     --sub 1 --data-root Raw/
+    python -m eeg_image_decode_tpu.cli smoke          # synthetic end-to-end
+
+Dataset paths come from ``--data-config`` (the reference's
+``data_config.json`` format) or explicit flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--data-config", default=None,
+                   help="path to data_config.json (reference format)")
+    p.add_argument("--data-path", default=None)
+    p.add_argument("--features", default=None,
+                   help=".npz with img_features/text_features (see data.features)")
+    p.add_argument("--output-dir", default="./runs")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+
+
+def _resolve_data_path(args) -> str:
+    if args.data_path:
+        return args.data_path
+    if args.data_config:
+        with open(args.data_config) as f:
+            return json.load(f)["data_path"]
+    raise SystemExit("need --data-path or --data-config")
+
+
+def _load_feature_file(path: str):
+    from eeg_image_decode_tpu.data.features import load_features
+
+    d = load_features(path)
+    return d["img_features"], d["text_features"]
+
+
+def _build_retrieval_splits(args, subjects, exclude=None, average_test=True):
+    from eeg_image_decode_tpu.data.things_eeg import build_retrieval_data
+
+    data_path = _resolve_data_path(args)
+    if not args.features:
+        raise SystemExit(
+            "need --features (precomputed CLIP cache .npz; see "
+            "eeg_image_decode_tpu.data.features.load_or_compute_clip_features)"
+        )
+    img, txt = _load_feature_file(args.features)
+    train = build_retrieval_data(
+        data_path, subjects, train=True, img_features=img, text_features=txt,
+        exclude_subject=exclude,
+    )
+    # test features: one image per class → pass the per-class slice
+    test_img = img.reshape(-1, 10, img.shape[-1])[:, 0] if img.shape[0] % 10 == 0 else img
+    test = build_retrieval_data(
+        data_path, subjects, train=False,
+        img_features=test_img[: 200], text_features=txt[:200],
+        exclude_subject=exclude, average_test_reps=average_test,
+    )
+    return train, test
+
+
+def cmd_train_retrieval(args):
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.core.checkpoint import Checkpointer, run_directory
+    from eeg_image_decode_tpu.core.config import ATMSConfig, ContrastiveTrainConfig
+    from eeg_image_decode_tpu.core.mesh import create_mesh
+    from eeg_image_decode_tpu.models import build_encoder
+    from eeg_image_decode_tpu.train import ContrastiveTrainer
+
+    subjects = args.subjects.split(",")
+    cfg = ContrastiveTrainConfig(
+        encoder=args.encoder,
+        batch_size=args.batch_size or (16 if args.joint else 1024),
+        epochs=args.epochs or 40,
+        lr=args.lr or 3e-4,
+        recon_loss=args.recon,
+        seed=args.seed,
+    )
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.encoder == "atms":
+        model = build_encoder(
+            "atms", config=ATMSConfig(joint_train=args.joint), dtype=dtype
+        )
+    else:
+        model = build_encoder(args.encoder, dtype=dtype)
+
+    exclude = args.test_subject if args.joint else None
+    train, test = _build_retrieval_splits(args, subjects, exclude=exclude)
+    mesh = create_mesh() if args.mesh else None
+    run_id = time.strftime("%Y-%m-%d_%H-%M-%S")
+    sub_tag = args.test_subject or subjects[0]
+    out = run_directory(args.output_dir, args.encoder, sub_tag, run_id)
+    ckpt = Checkpointer(os.path.join(out, "ckpt"))
+    trainer = ContrastiveTrainer(
+        model, cfg, train, test, mesh=mesh, output_dir=out, checkpointer=ckpt
+    )
+    trainer.fit()
+    print(json.dumps(trainer.history[-1]))
+
+
+def cmd_train_prior(args):
+    from eeg_image_decode_tpu.core.config import PriorConfig
+    from eeg_image_decode_tpu.train.prior import PriorPipe
+
+    d = np.load(args.eeg_features)
+    c_emb, h_emb = d["eeg_features"], d["img_features"]
+    cfg = PriorConfig(
+        epochs=args.epochs or 150,
+        batch_size=args.batch_size or 1024,
+        lr=args.lr or 1e-3,
+        seed=args.seed,
+    )
+    pipe = PriorPipe(cfg)
+    history = pipe.train(c_emb, h_emb)
+    os.makedirs(args.output_dir, exist_ok=True)
+    import pickle
+
+    import jax
+
+    with open(os.path.join(args.output_dir, "diffusion_prior.pkl"), "wb") as f:
+        pickle.dump(jax.device_get(pipe.state.params), f)
+    print(json.dumps(history[-1]))
+
+
+def cmd_train_lowlevel(args):
+    from eeg_image_decode_tpu.core.config import LowLevelConfig
+    from eeg_image_decode_tpu.data.things_eeg import load_things_eeg_subject
+    from eeg_image_decode_tpu.train.lowlevel import LowLevelTrainer
+
+    data_path = _resolve_data_path(args)
+    eeg, _ = load_things_eeg_subject(
+        data_path, args.subjects, train=True
+    )
+    latents = np.load(args.latents)["latents"]
+    cfg = LowLevelConfig(
+        epochs=args.epochs or 200, batch_size=args.batch_size or 30,
+        lr=args.lr or 1e-3,
+    )
+    trainer = LowLevelTrainer(cfg)
+    history = trainer.train(eeg, latents, seed=args.seed)
+    print(json.dumps(history[-1]))
+
+
+def cmd_preprocess(args):
+    import pickle
+
+    from eeg_image_decode_tpu.preprocess.epoching import (
+        epoch_session,
+        merge_sessions_test,
+        merge_sessions_train,
+        save_preprocessed,
+    )
+    from eeg_image_decode_tpu.preprocess.mvnn import mvnn_whiten
+
+    out_dir = os.path.join(args.project_dir, f"Preprocessed_data_{args.sfreq}Hz",
+                           f"sub-{args.sub:02d}")
+    parts = {}
+    for part, max_rep in (("test", 20), ("training", 2)):
+        epochs_list, conds_list, times = [], [], None
+        for ses in range(1, args.n_ses + 1):
+            raw_path = os.path.join(
+                args.project_dir, "Raw_data", f"sub-{args.sub:02d}",
+                f"ses-{ses:02d}", f"raw_eeg_{part}.npy",
+            )
+            raw = np.load(raw_path, allow_pickle=True)
+            if isinstance(raw, np.ndarray):
+                raw = raw.item()
+            ch_names = list(raw["ch_names"])
+            stim_idx = ch_names.index("stim")
+            eeg_rows = [i for i in range(len(ch_names)) if i != stim_idx]
+            epochs, conds, times = epoch_session(
+                raw["raw_eeg_data"][eeg_rows],
+                [ch_names[i] for i in eeg_rows],
+                float(raw["sfreq"]),
+                raw["raw_eeg_data"][stim_idx],
+                target_sfreq=args.sfreq,
+                max_rep=max_rep,
+                seed=args.seed,
+            )
+            epochs_list.append(epochs)
+            conds_list.append(conds)
+        parts[part] = (epochs_list, conds_list, times)
+
+    wtrain, wtest = mvnn_whiten(parts["training"][0], parts["test"][0])
+    merged_test = merge_sessions_test(wtest, seed=args.seed)
+    merged_train = merge_sessions_train(
+        wtrain, parts["training"][1], seed=args.seed
+    )
+    times = parts["training"][2]
+    from eeg_image_decode_tpu.preprocess.epoching import CHANNEL_ORDER
+
+    save_preprocessed(os.path.join(out_dir, "preprocessed_eeg_test.npy"),
+                      merged_test, CHANNEL_ORDER, times)
+    save_preprocessed(os.path.join(out_dir, "preprocessed_eeg_training.npy"),
+                      merged_train, CHANNEL_ORDER, times)
+    print(f"wrote {out_dir}")
+
+
+def cmd_smoke(args):
+    """Synthetic end-to-end: retrieval training + prior + generation."""
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.core.config import (
+        ContrastiveTrainConfig,
+        PriorConfig,
+    )
+    from eeg_image_decode_tpu.data import make_synthetic_retrieval_data
+    from eeg_image_decode_tpu.models import build_encoder
+    from eeg_image_decode_tpu.train import ContrastiveTrainer
+    from eeg_image_decode_tpu.train.evaluator import retrieval_eval
+    from eeg_image_decode_tpu.train.prior import PriorPipe
+
+    train, test = make_synthetic_retrieval_data(
+        n_classes=16, images_per_class=4, train_reps=2, clip_dim=64, snr=2.0
+    )
+    # the generation path trains the encoder with the reconstruction
+    # objective (ref Generation/ATMS_reconstruction.py:227-228)
+    cfg = ContrastiveTrainConfig(
+        encoder="nice", batch_size=32, epochs=4, lr=1e-3, eval_ks=(2, 16),
+        recon_loss=True,
+    )
+    trainer = ContrastiveTrainer(
+        build_encoder("nice", proj_dim=64), cfg, train, test
+    )
+    trainer.fit()
+    feats_test, _ = trainer.eval_fn(
+        trainer.state.params, trainer.state.batch_stats,
+        trainer.test_eeg, trainer.test_subject_ids,
+    )
+    feats_train, _ = trainer.eval_fn(
+        trainer.state.params, trainer.state.batch_stats,
+        jnp.asarray(train.eeg), jnp.asarray(train.subject_ids),
+    )
+    h = train.img_features[train.img_idx]
+    h = h / np.abs(h).max()
+    pipe = PriorPipe(PriorConfig(
+        embed_dim=64, cond_dim=64, hidden_dims=(256, 128, 64),
+        time_embed_dim=64, epochs=300, batch_size=64, lr=1e-3,
+        warmup_steps=100, num_inference_steps=50, guidance_scale=5.0,
+    ))
+    pipe.train(np.asarray(feats_train), h, log_fn=None)
+    gen = pipe.generate(feats_test, key=jax.random.key(0))
+    out = retrieval_eval(
+        gen, jnp.asarray(test.img_features / np.abs(train.img_features).max()),
+        jnp.asarray(test.labels), ks=(2, 16), key=jax.random.key(1),
+    )
+    print(json.dumps({k: float(v) for k, v in out.items()}))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="eeg_image_decode_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train-retrieval", help="contrastive retrieval training")
+    _add_common(p)
+    p.add_argument("--encoder", default="atms")
+    p.add_argument("--subjects", default="sub-01")
+    p.add_argument("--joint", action="store_true",
+                   help="joint training over all subjects (C18)")
+    p.add_argument("--test-subject", default=None)
+    p.add_argument("--mesh", action="store_true", help="use all devices (dp)")
+    p.set_defaults(recon=False, fn=cmd_train_retrieval)
+
+    p = sub.add_parser("train-recon", help="reconstruction-objective training")
+    _add_common(p)
+    p.add_argument("--encoder", default="atms")
+    p.add_argument("--subjects", default="sub-08")
+    p.add_argument("--mesh", action="store_true")
+    p.set_defaults(recon=True, joint=False, test_subject=None,
+                   fn=cmd_train_retrieval)
+
+    p = sub.add_parser("train-prior", help="diffusion prior training")
+    _add_common(p)
+    p.add_argument("--eeg-features", required=True,
+                   help=".npz with eeg_features + img_features")
+    p.set_defaults(fn=cmd_train_prior)
+
+    p = sub.add_parser("train-lowlevel", help="EEG→VAE-latent training")
+    _add_common(p)
+    p.add_argument("--subjects", default="sub-08")
+    p.add_argument("--latents", required=True, help=".npz with latents")
+    p.set_defaults(fn=cmd_train_lowlevel)
+
+    p = sub.add_parser("preprocess", help="raw → preprocessed epochs")
+    p.add_argument("--sub", type=int, required=True)
+    p.add_argument("--project-dir", default=".")
+    p.add_argument("--n-ses", type=int, default=4)
+    p.add_argument("--sfreq", type=int, default=250)
+    p.add_argument("--seed", type=int, default=20200220)
+    p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("smoke", help="synthetic end-to-end check")
+    p.set_defaults(fn=cmd_smoke)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
