@@ -308,6 +308,16 @@ class ContrastiveTrainer:
                 self.checkpointer.save(epoch + 1, self.state)
         if self.output_dir:
             self._write_csv()
+            try:
+                from eeg_image_decode_tpu.utils.plotting import (
+                    plot_training_summary,
+                )
+
+                plot_training_summary(
+                    self.history, os.path.join(self.output_dir, "summary.png")
+                )  # the reference's pos_img_text.png panel (:462-510)
+            except Exception:
+                pass  # plotting is best-effort (headless/mpl issues)
         return self.history
 
     def _write_csv(self):

@@ -1,0 +1,159 @@
+"""Convert reference torch checkpoints into this framework's param trees.
+
+The reference ships trained ATM-S ``state_dict`` files
+(``torch.save(eeg_model.state_dict())``, ``Retrieval/ATMS_retrieval.py:386``).
+``convert_atms_state_dict`` maps them onto the flax ATMS tree so a user of
+the reference can evaluate/resume here without retraining.
+
+Conventions handled:
+- torch ``Linear.weight`` is (out, in) → flax ``kernel`` (in, out)
+- torch ``Conv2d.weight`` is (O, I, kH, kW) → flax (kH, kW, I, O)
+- our conv-before-BN layers drop the redundant torch conv bias; the bias is
+  folded into the BN running mean instead (exactly equivalent at inference:
+  BN(x + b) = BN'(x) with mean' = mean − b)
+- the reference's unused ``subject_wise_linear`` stack (forward-commented,
+  ``ATMS_retrieval.py:187``) and ``loss_func`` buffers are ignored.
+
+Input: a mapping name → numpy array (load ``.pth`` with
+``torch.load(..., map_location='cpu')`` and call ``.numpy()`` per tensor, or
+pass any dict of arrays).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def linear_to_kernel(w: np.ndarray) -> np.ndarray:
+    """(out, in) torch Linear weight → (in, out) flax kernel."""
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def conv2d_to_hwio(w: np.ndarray) -> np.ndarray:
+    """(O, I, kH, kW) → (kH, kW, I, O)."""
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+
+def _bn(sd: dict, prefix: str, mean_shift: np.ndarray | None = None):
+    mean = np.asarray(sd[f"{prefix}.running_mean"])
+    if mean_shift is not None:
+        mean = mean - np.asarray(mean_shift)
+    return (
+        {"scale": np.asarray(sd[f"{prefix}.weight"]),
+         "bias": np.asarray(sd[f"{prefix}.bias"])},
+        {"mean": mean, "var": np.asarray(sd[f"{prefix}.running_var"])},
+    )
+
+
+def _ln(sd: dict, prefix: str):
+    return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def convert_atms_state_dict(
+    sd: dict, *, fused_tsconv: bool = False
+) -> dict:
+    """torch ATMS state_dict → {'params': ..., 'batch_stats': ...} for the
+    wrapped ``build_encoder('atms')`` model."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: dict = {}
+    stats: dict = {}
+
+    # — embedding (DataEmbedding, Embed.py:124-162) —
+    emb = {
+        "value_embedding": {
+            "kernel": linear_to_kernel(sd["encoder.enc_embedding.value_embedding.weight"]),
+            "bias": sd["encoder.enc_embedding.value_embedding.bias"],
+        },
+        "subject_token": {
+            "subject_embedding": sd[
+                "encoder.enc_embedding.subject_embedding.subject_embedding.weight"
+            ],
+            "shared_embedding": sd[
+                "encoder.enc_embedding.subject_embedding.shared_embedding"
+            ],
+        },
+    }
+    params["embedding"] = emb
+
+    # — attention encoder layers (Transformer_EncDec.py:27-51) —
+    i = 0
+    while f"encoder.encoder.attn_layers.{i}.attention.query_projection.weight" in sd:
+        p = f"encoder.encoder.attn_layers.{i}"
+        layer = {
+            "q_proj": {
+                "kernel": linear_to_kernel(sd[f"{p}.attention.query_projection.weight"]),
+                "bias": sd[f"{p}.attention.query_projection.bias"],
+            },
+            "k_proj": {
+                "kernel": linear_to_kernel(sd[f"{p}.attention.key_projection.weight"]),
+                "bias": sd[f"{p}.attention.key_projection.bias"],
+            },
+            "v_proj": {
+                "kernel": linear_to_kernel(sd[f"{p}.attention.value_projection.weight"]),
+                "bias": sd[f"{p}.attention.value_projection.bias"],
+            },
+            "out_proj": {
+                "kernel": linear_to_kernel(sd[f"{p}.attention.out_projection.weight"]),
+                "bias": sd[f"{p}.attention.out_projection.bias"],
+            },
+            # the FFN is two 1x1 Conv1d: (d_ff, d_model, 1) → Dense
+            "ffn_in": {
+                "kernel": linear_to_kernel(sd[f"{p}.conv1.weight"][:, :, 0]),
+                "bias": sd[f"{p}.conv1.bias"],
+            },
+            "ffn_out": {
+                "kernel": linear_to_kernel(sd[f"{p}.conv2.weight"][:, :, 0]),
+                "bias": sd[f"{p}.conv2.bias"],
+            },
+            "norm1": _ln(sd, f"{p}.norm1"),
+            "norm2": _ln(sd, f"{p}.norm2"),
+        }
+        params[f"encoder_layer_{i}"] = layer
+        i += 1
+    params["encoder_norm"] = _ln(sd, "encoder.encoder.norm")
+
+    # — tsconv (PatchEmbedding, ATMS_retrieval.py:97-125) —
+    w_t = sd["enc_eeg.0.tsconv.0.weight"]  # (40, 1, 1, 25)
+    b_t = sd["enc_eeg.0.tsconv.0.bias"]
+    enc = {}
+    bn1_p, bn1_s = _bn(sd, "enc_eeg.0.tsconv.2", mean_shift=b_t)
+    if fused_tsconv:
+        enc["temporal_conv_kernel"] = np.ascontiguousarray(
+            w_t[:, 0, 0, :].T
+        )  # (25, 40)
+    else:
+        enc["temporal_conv"] = {"kernel": conv2d_to_hwio(w_t)}
+    enc["bn1"] = bn1_p
+    w_s = sd["enc_eeg.0.tsconv.4.weight"]  # (40, 40, 63, 1)
+    b_s = sd["enc_eeg.0.tsconv.4.bias"]
+    bn2_p, bn2_s = _bn(sd, "enc_eeg.0.tsconv.5", mean_shift=b_s)
+    enc["spatial_conv"] = {"kernel": conv2d_to_hwio(w_s)}
+    enc["bn2"] = bn2_p
+    enc["proj_conv"] = {
+        "kernel": conv2d_to_hwio(sd["enc_eeg.0.projection.0.weight"]),
+        "bias": sd["enc_eeg.0.projection.0.bias"],
+    }
+    params["enc_eeg"] = enc
+    stats["enc_eeg"] = {"bn1": bn1_s, "bn2": bn2_s}
+
+    # — projector (Proj_eeg, :157-167) —
+    params["proj_eeg"] = {
+        "in_proj": {
+            "kernel": linear_to_kernel(sd["proj_eeg.0.weight"]),
+            "bias": sd["proj_eeg.0.bias"],
+        },
+        "res_proj": {
+            "kernel": linear_to_kernel(sd["proj_eeg.1.fn.1.weight"]),
+            "bias": sd["proj_eeg.1.fn.1.bias"],
+        },
+        "ln": _ln(sd, "proj_eeg.2"),
+    }
+
+    return {
+        "params": {
+            "encoder": params,
+            "logit_scale": {"logit_scale": np.asarray(sd["logit_scale"])},
+        },
+        "batch_stats": {"encoder": stats},
+    }
