@@ -221,6 +221,61 @@ def cmd_preprocess(args):
     print(f"wrote {out_dir}")
 
 
+def cmd_generate(args):
+    """200-class × n-seed image generation from prior-sampled embeddings
+    (the reference's ``Generation_metrics_sub8.ipynb`` cell 9 driver)."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.core.config import PriorConfig
+    from eeg_image_decode_tpu.gen.sdxl import Generator4Embeds, GeneratorConfig
+    from eeg_image_decode_tpu.train.prior import PriorPipe, PriorState
+
+    d = np.load(args.eeg_features)
+    feats_test = d["eeg_features_test"]
+
+    pipe = PriorPipe(PriorConfig())
+    pipe.init(total_steps=1)
+    with open(args.prior_params, "rb") as f:
+        params = pickle.load(f)
+    pipe.state = PriorState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=pipe.state.opt_state,
+    )
+
+    gcfg = GeneratorConfig.tiny() if args.tiny else GeneratorConfig()
+    gen = Generator4Embeds(gcfg)
+    if args.generator_params:
+        with open(args.generator_params, "rb") as f:
+            gen.load_params(pickle.load(f))
+    else:
+        gen.init(jax.random.key(0))  # random weights: pipeline smoke only
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    from PIL import Image
+
+    n = feats_test.shape[0]
+    bs = args.gen_batch
+    for start in range(0, n, bs):
+        emb = pipe.generate(
+            jnp.asarray(feats_test[start : start + bs]),
+            key=jax.random.key(start),
+        )
+        for seed in range(args.seeds):
+            imgs = gen.generate(emb, key=jax.random.key(1000 + seed))
+            arr = np.asarray(jnp.round(imgs * 255)).astype(np.uint8)
+            for j in range(arr.shape[0]):
+                cls = start + j
+                cls_dir = os.path.join(args.output_dir, f"class_{cls:04d}")
+                os.makedirs(cls_dir, exist_ok=True)
+                Image.fromarray(arr[j]).save(
+                    os.path.join(cls_dir, f"{seed}.png")
+                )
+    print(f"wrote {n} classes × {args.seeds} seeds to {args.output_dir}")
+
+
 def cmd_smoke(args):
     """Synthetic end-to-end: retrieval training + prior + generation."""
     import jax
@@ -314,6 +369,18 @@ def main(argv=None):
     p.add_argument("--sfreq", type=int, default=250)
     p.add_argument("--seed", type=int, default=20200220)
     p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("generate", help="prior sampling + SDXL image generation")
+    p.add_argument("--eeg-features", required=True)
+    p.add_argument("--prior-params", required=True)
+    p.add_argument("--generator-params", default=None,
+                   help="converted SDXL weights (pickle); random init if absent")
+    p.add_argument("--output-dir", default="./generated_imgs")
+    p.add_argument("--seeds", type=int, default=10)
+    p.add_argument("--gen-batch", type=int, default=50)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny generator config (tests/smoke)")
+    p.set_defaults(fn=cmd_generate)
 
     p = sub.add_parser("smoke", help="synthetic end-to-end check")
     p.set_defaults(fn=cmd_smoke)

@@ -320,6 +320,45 @@ class ContrastiveTrainer:
                 pass  # plotting is best-effort (headless/mpl issues)
         return self.history
 
+    def extract_features(
+        self, eeg: np.ndarray | jax.Array, subject_ids: np.ndarray | jax.Array,
+        batch_size: int = 2048,
+    ) -> np.ndarray:
+        """EEG epochs → encoder features (the reference's ``get_eegfeatures``
+        export, ``Generation_metrics_sub8.ipynb`` cell 2-3)."""
+        eeg = jnp.asarray(eeg)
+        subject_ids = jnp.asarray(subject_ids)
+        chunks = []
+        for i in range(0, eeg.shape[0], batch_size):
+            feats, _ = self.eval_fn(
+                self.state.params,
+                self.state.batch_stats,
+                eeg[i : i + batch_size],
+                subject_ids[i : i + batch_size],
+            )
+            chunks.append(np.asarray(feats))
+        return np.concatenate(chunks, axis=0)
+
+    def export_features(self, path: str) -> str:
+        """Save train+test EEG features + aligned CLIP targets as .npz — the
+        artifact the diffusion-prior trainer consumes (the reference's
+        ``ATM_S_eeg_features_sub-08{,_test}.pt`` pair)."""
+        train_feats = self.extract_features(
+            self.train_host.eeg, self.train_host.subject_ids
+        )
+        test_feats = self.extract_features(
+            self.test_eeg, self.test_subject_ids
+        )
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(
+            path,
+            eeg_features=train_feats,
+            eeg_features_test=test_feats,
+            img_features=self.train_host.img_features[self.train_host.img_idx],
+            labels_test=np.asarray(self.test_labels),
+        )
+        return path
+
     def _write_csv(self):
         import csv
 

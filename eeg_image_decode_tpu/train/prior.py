@@ -180,6 +180,27 @@ class PriorPipe:
                 log_fn(f"prior epoch {epoch}: loss={loss:.4f} ({dt:.2f}s)")
         return history
 
+    # — checkpointing (the reference pickles the prior state_dict,
+    #   Generation_metrics_sub8.ipynb cell 9 / GIT_caption_batch.ipynb cell 7) —
+    def save(self, path: str) -> str:
+        import os
+        import pickle
+
+        assert self.state is not None
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(jax.device_get(self.state.params), f)
+        return path
+
+    def load(self, path: str) -> None:
+        import pickle
+
+        with open(path, "rb") as f:
+            params = pickle.load(f)
+        if self.state is None:
+            self.init(total_steps=1)
+        self.state = self.state.replace(params=params)
+
     # — sampling —
     def generate(
         self,
