@@ -62,6 +62,10 @@ def _device_synthetic_data():
 
 def main():
     import jax
+
+    # threefry dropout-mask generation costs ~25% of the step (measured,
+    # scripts/ablate_perf.py); the TPU-native RBG generator removes most of it
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     from eeg_image_decode_tpu.core.config import ATMSConfig, ContrastiveTrainConfig
