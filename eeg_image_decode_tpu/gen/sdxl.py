@@ -81,6 +81,43 @@ class Generator4Embeds:
         self.params = {"unet": unet_params, "vae": vae_params}
         return self.params
 
+    def init_abstract(self, key: jax.Array | None = None,
+                      dtype=jnp.bfloat16) -> dict:
+        """Materialize randomly-filled params directly in ``dtype`` without
+        ever building the fp32 tree (full SDXL fp32 init would need >10 GB of
+        HBM; bf16 halves it). Values are N(0, 0.02) — for latency/memory work
+        and as the target structure for weight conversion."""
+        cfg = self.config
+        key = key if key is not None else jax.random.key(0)
+        h, w = cfg.latent_size
+        f = cfg.pixel_factor
+
+        def abstract():
+            k1, k2 = jax.random.split(jax.random.key(0))
+            latents = jnp.zeros((1, h, w, cfg.unet.in_channels))
+            ctx = jnp.zeros((1, cfg.text_len, cfg.unet.cross_attention_dim))
+            emb = jnp.zeros((1, cfg.unet.ip_image_embed_dim))
+            up = self.unet.init(k1, latents, jnp.zeros((1,), jnp.int32), ctx,
+                                None, None, emb)["params"]
+            vp = self.vae.init(
+                k2, jnp.zeros((1, h * f, w * f, cfg.vae.in_channels))
+            )["params"]
+            return {"unet": up, "vae": vp}
+
+        shapes = jax.eval_shape(abstract)
+        leaves, treedef = jax.tree_util.tree_flatten(shapes)
+        keys = jax.random.split(key, len(leaves))
+
+        @jax.jit
+        def fill(keys):
+            return treedef.unflatten([
+                0.02 * jax.random.normal(k, s.shape, dtype)
+                for k, s in zip(keys, leaves)
+            ])
+
+        self.params = fill(keys)
+        return self.params
+
     def load_params(self, params: dict) -> None:
         self.params = params
 

@@ -162,9 +162,18 @@ class VAE(nn.Module):
     def setup(self):
         self.encoder = VAEEncoder(self.config, dtype=self.dtype)
         self.decoder = VAEDecoder(self.config, dtype=self.dtype)
+        # AutoencoderKL's 1×1 moment/latent projections
+        self.quant_conv = nn.Conv(
+            2 * self.config.latent_channels, (1, 1), dtype=self.dtype,
+            name="quant_conv",
+        )
+        self.post_quant_conv = nn.Conv(
+            self.config.latent_channels, (1, 1), dtype=self.dtype,
+            name="post_quant_conv",
+        )
 
     def encode(self, images: jax.Array, key: jax.Array | None = None):
-        moments = self.encoder(images)
+        moments = self.quant_conv(self.encoder(images))
         mean, logvar = jnp.split(moments, 2, axis=-1)
         if key is not None:
             mean = mean + jnp.exp(0.5 * jnp.clip(logvar, -30, 20)) * (
@@ -173,7 +182,9 @@ class VAE(nn.Module):
         return mean * self.config.scaling_factor
 
     def decode(self, latents: jax.Array) -> jax.Array:
-        return self.decoder(latents / self.config.scaling_factor)
+        return self.decoder(
+            self.post_quant_conv(latents / self.config.scaling_factor)
+        )
 
     def __call__(self, images: jax.Array) -> jax.Array:
         return self.decode(self.encode(images))
