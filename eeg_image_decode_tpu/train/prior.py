@@ -60,6 +60,7 @@ class PriorPipe:
         self.schedule = DDPMSchedule(num_train_timesteps=cfg.num_train_timesteps)
         self.state: PriorState | None = None
         self._total_steps = total_steps
+        self._samplers: dict = {}  # (steps, scale, params-id) → jitted sampler
 
     # — initialization —
     def init(self, total_steps: int, seed: int | None = None) -> PriorState:
@@ -215,21 +216,36 @@ class PriorPipe:
         cfg = self.cfg
         steps = num_inference_steps or cfg.num_inference_steps
         scale = cfg.guidance_scale if guidance_scale is None else guidance_scale
-        params = self.state.params
 
-        def denoise(x, t, cond, cond_mask):
-            return self.model.apply(
-                {"params": params}, x, t, cond, cond_mask, deterministic=True
+        # cache the jitted sampler: params enter as a traced argument so a new
+        # state does NOT retrace (only a new steps/scale combination does)
+        cache_key = (steps, float(scale))
+        if cache_key not in self._samplers:
+
+            def denoise_with(params):
+                def denoise(x, t, cond, cond_mask):
+                    return self.model.apply(
+                        {"params": params}, x, t, cond, cond_mask,
+                        deterministic=True,
+                    )
+
+                return denoise
+
+            def sample(params, key, cond, shape):
+                return make_cfg_sampler(
+                    denoise_with(params), self.schedule,
+                    num_inference_steps=steps, guidance_scale=scale,
+                )(key, cond, shape)
+
+            self._samplers[cache_key] = jax.jit(
+                sample, static_argnames=("shape",)
             )
-
-        sampler = make_cfg_sampler(
-            denoise, self.schedule,
-            num_inference_steps=steps, guidance_scale=scale,
-        )
         if key is None:
             key = jax.random.key(cfg.seed)
         c = jnp.asarray(c_embeds, jnp.float32)
-        return sampler(key, c, (c.shape[0], cfg.embed_dim))
+        return self._samplers[cache_key](
+            self.state.params, key, c, (c.shape[0], cfg.embed_dim)
+        )
 
 
 def expand_image_embeddings(
