@@ -119,6 +119,25 @@ def feature_distance(
     return jnp.mean(1.0 - _rowwise_corr(_flat(gen_features), _flat(gt_features)))
 
 
+def make_clip_extractor(tower, params, *, image_size: int | None = None):
+    """Feature extractor backed by the flax CLIP vision tower
+    (``models/clip_vit.py``) — the notebook's CLIP ViT-L/14 row (cell 18)
+    without the torch dependency. Resizes+normalizes [0,1] NHWC images."""
+    from eeg_image_decode_tpu.models.clip_vit import clip_preprocess
+
+    size = image_size or tower.config.image_size
+
+    @jax.jit
+    def extract(images: jax.Array) -> jax.Array:
+        b = images.shape[0]
+        if images.shape[1] != size:
+            images = jax.image.resize(images, (b, size, size, 3), "bilinear")
+        feats = tower.apply({"params": params}, clip_preprocess(images))
+        return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+    return extract
+
+
 def reconstruction_metrics(
     generated: jax.Array,
     ground_truth: jax.Array,

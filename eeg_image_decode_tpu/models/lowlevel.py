@@ -19,6 +19,8 @@ class EncoderLowLevel(nn.Module):
     seq_len: int = 250
     time_proj_dim: int = 128
     latent_channels: int = 4
+    #: widths of the six 2×-upsampling stages (ref :229-248); shrink for tests
+    stage_channels: tuple = (1024, 512, 256, 128, 64, 32)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -36,7 +38,7 @@ class EncoderLowLevel(nn.Module):
 
         # ConvTranspose ladder 1→2→4→8→16→32→64, then two 1×1 stages (ref
         # :228-251); channels 8064→1024→512→256→128→64→32→16→4
-        for i, ch in enumerate((1024, 512, 256, 128, 64, 32)):
+        for i, ch in enumerate(self.stage_channels):
             # SAME padding ≡ torch ConvTranspose2d(k=4, s=2, p=1): exact 2×
             h = nn.ConvTranspose(
                 ch, kernel_size=(4, 4), strides=(2, 2), padding="SAME",

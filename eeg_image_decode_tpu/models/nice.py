@@ -18,6 +18,9 @@ class NICE(nn.Module):
     n_channels: int = 63
     emb_size: int = 40
     proj_dim: int = 1024
+    temporal_kernel: int = 25
+    pool_size: int = 51
+    pool_stride: int = 5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -32,6 +35,9 @@ class NICE(nn.Module):
         tokens = TSConv(
             emb_size=self.emb_size,
             spatial_extent=self.n_channels,
+            temporal_kernel=self.temporal_kernel,
+            pool_size=self.pool_size,
+            pool_stride=self.pool_stride,
             dtype=self.dtype,
             name="enc_eeg",
         )(x, deterministic=deterministic)

@@ -18,7 +18,7 @@ def _multi_subject_data(n_subjects=3):
     for sid in range(n_subjects):
         tr, te = make_synthetic_retrieval_data(
             n_classes=12, images_per_class=2, train_reps=2, clip_dim=48,
-            snr=2.0, seed=20200220, subject_id=sid,
+            n_timepoints=64, snr=2.0, seed=20200220, subject_id=sid,
         )
         trains.append(tr)
         tests.append(te)
@@ -48,7 +48,9 @@ def test_joint_training_mixed_subject_batches():
     )
     model = build_encoder(
         "atms",
-        config=ATMSConfig(joint_train=True, num_subjects=3, proj_dim=48),
+        config=ATMSConfig(joint_train=True, num_subjects=3, proj_dim=48,
+                          seq_len=64, d_model=64, temporal_kernel=9,
+                          pool_size=16, pool_stride=4),
     )
     trainer = ContrastiveTrainer(model, cfg, train, test)
     history = trainer.fit(log_fn=None)
@@ -63,7 +65,9 @@ def test_joint_training_on_mesh(mesh8):
         encoder="atms", batch_size=16, epochs=1, lr=1e-3, eval_ks=(12,), seed=1,
     )
     model = build_encoder(
-        "atms", config=ATMSConfig(joint_train=True, num_subjects=2, proj_dim=48)
+        "atms", config=ATMSConfig(joint_train=True, num_subjects=2, proj_dim=48,
+                                  seq_len=64, d_model=64, temporal_kernel=9,
+                                  pool_size=16, pool_stride=4)
     )
     trainer = ContrastiveTrainer(model, cfg, train, test, mesh=mesh8)
     history = trainer.fit(log_fn=None)

@@ -16,20 +16,43 @@ from eeg_image_decode_tpu.models.lowlevel import EncoderLowLevel
 from eeg_image_decode_tpu.train.lowlevel import LowLevelTrainer
 
 
+TINY_STAGES = (32, 16, 8, 8, 8, 8)
+
+
 def test_lowlevel_encoder_shape(rng):
-    model = EncoderLowLevel()
+    model = EncoderLowLevel(stage_channels=TINY_STAGES, time_proj_dim=8)
     x = jnp.asarray(rng.normal(size=(2, 63, 250)).astype(np.float32))
     v = model.init(jax.random.key(0), x, deterministic=True)
     out = model.apply(v, x, deterministic=True)
     assert out.shape == (2, 64, 64, 4)  # NHWC of the (4, 64, 64) SDXL latent
 
 
+def test_lowlevel_full_size_param_shapes():
+    """Full-size config matches the reference's 8064→…→4 ladder without
+    paying a full compile: check shapes via eval_shape only."""
+    import jax
+
+    model = EncoderLowLevel()
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.key(0), jnp.zeros((1, 63, 250)), deterministic=True
+        )
+    )
+    p = shapes["params"]
+    assert p["subject_linear"]["kernel"].shape == (250, 128)
+    assert p["up_0"]["kernel"].shape == (4, 4, 8064, 1024)
+    assert p["proj_out"]["kernel"].shape == (1, 1, 16, 4)
+
+
 def test_lowlevel_trainer_l1_decreases(rng):
-    cfg = LowLevelConfig(batch_size=8, epochs=6, lr=2e-3)
+    cfg = LowLevelConfig(batch_size=8, epochs=6, lr=2e-3, time_proj_dim=8)
     n = 16
     eeg = rng.normal(size=(n, 63, 250)).astype(np.float32)
     latents = rng.normal(size=(n, 4, 64, 64)).astype(np.float32) * 0.1  # NCHW cache layout
-    trainer = LowLevelTrainer(cfg)
+    trainer = LowLevelTrainer(
+        cfg,
+        model=EncoderLowLevel(stage_channels=TINY_STAGES, time_proj_dim=8),
+    )
     history = trainer.train(eeg, latents, log_fn=None)
     assert history[-1]["loss"] < history[0]["loss"]
     pred = trainer.predict(eeg[:2])

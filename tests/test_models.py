@@ -106,12 +106,19 @@ def test_atms_joint_train_per_subject_embeddings(rng):
 
 
 def test_atms_gradients_reach_all_params(rng):
+    from eeg_image_decode_tpu.core.config import ATMSConfig
     from eeg_image_decode_tpu.losses import clip_loss
 
+    # small time axis: this test only needs grad *coverage*, not real dims
+    T, D = 64, 64
     x = jnp.asarray(rng.normal(size=(B, C, T)).astype(np.float32))
     y = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
     sids = jnp.zeros((B,), jnp.int32)
-    model = build_encoder("atms")
+    model = build_encoder(
+        "atms",
+        config=ATMSConfig(seq_len=T, d_model=T, temporal_kernel=9,
+                          pool_size=16, pool_stride=4, proj_dim=D),
+    )
     variables = model.init(
         {"params": jax.random.key(0)}, x, sids, deterministic=True
     )

@@ -12,10 +12,26 @@ from eeg_image_decode_tpu.models import build_encoder
 from eeg_image_decode_tpu.train import ContrastiveTrainer
 
 
+T_SMALL = 64  # reduced time axis keeps CPU compiles fast
+
+
 def _small_data():
     return make_synthetic_retrieval_data(
-        n_classes=16, images_per_class=4, train_reps=2, n_timepoints=250,
+        n_classes=16, images_per_class=4, train_reps=2, n_timepoints=T_SMALL,
         clip_dim=64, snr=2.0,
+    )
+
+
+def _small_nice():
+    return build_encoder(
+        "nice", proj_dim=64, temporal_kernel=9, pool_size=16, pool_stride=4
+    )
+
+
+def _small_atms_cfg(**kw):
+    return ATMSConfig(
+        seq_len=T_SMALL, d_model=T_SMALL, temporal_kernel=9, pool_size=16,
+        pool_stride=4, proj_dim=64, **kw,
     )
 
 
@@ -25,8 +41,7 @@ def test_nice_learns_above_chance():
         encoder="nice", batch_size=32, epochs=4, lr=1e-3,
         eval_ks=(2, 4, 16), seed=0,
     )
-    model = build_encoder("nice", proj_dim=64)
-    trainer = ContrastiveTrainer(model, cfg, train, test)
+    trainer = ContrastiveTrainer(_small_nice(), cfg, train, test)
     history = trainer.fit(log_fn=None)
     final = history[-1]
     # chance for 16-way is 1/16 = 0.0625; synthetic SNR makes this easy
@@ -40,7 +55,7 @@ def test_atms_learns_above_chance():
         encoder="atms", batch_size=32, epochs=3, lr=1e-3,
         eval_ks=(2, 16), seed=0,
     )
-    model = build_encoder("atms", config=ATMSConfig(proj_dim=64))
+    model = build_encoder("atms", config=_small_atms_cfg())
     trainer = ContrastiveTrainer(model, cfg, train, test)
     history = trainer.fit(log_fn=None)
     assert history[-1]["top1_k16"] > 0.25, history[-1]
@@ -56,7 +71,7 @@ def test_training_on_mesh_matches_single_device(mesh8):
     cfg = ContrastiveTrainConfig(
         encoder="nice", batch_size=32, epochs=1, lr=1e-3, eval_ks=(16,), seed=3,
     )
-    model = build_encoder("nice", proj_dim=64)
+    model = _small_nice()
 
     t1 = ContrastiveTrainer(model, cfg, train, test)
     t1.fit(log_fn=None)
@@ -77,7 +92,7 @@ def test_recon_loss_variant_trains():
         encoder="nice", batch_size=32, epochs=2, lr=1e-3, recon_loss=True,
         eval_ks=(16,), seed=1,
     )
-    model = build_encoder("nice", proj_dim=64)
+    model = _small_nice()
     trainer = ContrastiveTrainer(model, cfg, train, test)
     history = trainer.fit(log_fn=None)
     assert history[-1]["loss"] < history[0]["loss"]
@@ -88,7 +103,7 @@ def test_metrics_csv_written(tmp_path):
     cfg = ContrastiveTrainConfig(
         encoder="nice", batch_size=32, epochs=1, eval_ks=(16,), seed=2,
     )
-    model = build_encoder("nice", proj_dim=64)
+    model = _small_nice()
     trainer = ContrastiveTrainer(
         model, cfg, train, test, output_dir=str(tmp_path)
     )
