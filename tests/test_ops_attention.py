@@ -1,0 +1,79 @@
+"""Fused attention-layer kernel tests (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eeg_image_decode_tpu.ops.attention import (
+    attention_layer_reference,
+    fused_attention_layer,
+)
+
+B, L, D, INNER, FF, H = 5, 16, 48, 32, 64, 4
+
+
+def _params(rng):
+    r = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.1)
+    return {
+        "wq": r(D, INNER), "bq": r(INNER),
+        "wk": r(D, INNER), "bk": r(INNER),
+        "wv": r(D, INNER), "bv": r(INNER),
+        "wo": r(INNER, D), "bo": r(D),
+        "ln1_s": jnp.ones(D), "ln1_b": jnp.zeros(D),
+        "w1": r(D, FF), "b1": r(FF),
+        "w2": r(FF, D), "b2": r(D),
+        "ln2_s": jnp.ones(D), "ln2_b": jnp.zeros(D),
+    }
+
+
+def test_fused_matches_reference(rng):
+    params = _params(rng)
+    x = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+    want = attention_layer_reference(x, params, n_heads=H)
+    got = fused_attention_layer(x, params, H, True)
+    assert got.shape == (B, L, D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_gradients_match_reference(rng):
+    params = _params(rng)
+    x = jnp.asarray(rng.normal(size=(2, L, D)).astype(np.float32))
+
+    def loss_f(x, p):
+        return jnp.sum(fused_attention_layer(x, p, H, True) ** 2)
+
+    def loss_r(x, p):
+        return jnp.sum(attention_layer_reference(x, p, n_heads=H) ** 2)
+
+    gx_f, gp_f = jax.grad(loss_f, argnums=(0, 1))(x, params)
+    gx_r, gp_r = jax.grad(loss_r, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=1e-3, rtol=1e-3)
+    for k in gp_f:
+        np.testing.assert_allclose(np.asarray(gp_f[k]), np.asarray(gp_r[k]),
+                                   atol=1e-3, rtol=1e-3, err_msg=k)
+
+
+def test_fused_nonaligned_batch(rng):
+    """B=5 is not a multiple of the 8-row batch tile — padding path."""
+    params = _params(rng)
+    x = jnp.asarray(rng.normal(size=(5, L, D)).astype(np.float32))
+    got = fused_attention_layer(x, params, H, True)
+    want = attention_layer_reference(x, params, n_heads=H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_bf16(rng):
+    params = jax.tree_util.tree_map(
+        lambda v: v.astype(jnp.bfloat16), _params(rng)
+    )
+    x = jnp.asarray(rng.normal(size=(4, L, D)), jnp.bfloat16)
+    got = fused_attention_layer(x, params, H, True)
+    want = attention_layer_reference(x, params, n_heads=H)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
