@@ -59,7 +59,17 @@ def _load_feature_file(path: str):
     return d["img_features"], d["text_features"]
 
 
-def _build_retrieval_splits(args, subjects, exclude=None, average_test=True):
+def _build_retrieval_splits(
+    args, subjects, *, train_exclude=None, test_subject=None, average_test=True
+):
+    """Three protocols (ref scripts):
+    - in-subject (default): subjects=[one], no exclusions
+    - joint (C18): train on ALL subjects (the reference keeps the test
+      subject in training — the skip is commented out,
+      eegdatasets_joint_subjects.py:153-154); test on ``test_subject``
+    - cross-subject / leave-one-out: ``train_exclude`` drops the test subject
+      from training; test on it
+    """
     from eeg_image_decode_tpu.data.things_eeg import build_retrieval_data
 
     data_path = _resolve_data_path(args)
@@ -71,14 +81,14 @@ def _build_retrieval_splits(args, subjects, exclude=None, average_test=True):
     img, txt = _load_feature_file(args.features)
     train = build_retrieval_data(
         data_path, subjects, train=True, img_features=img, text_features=txt,
-        exclude_subject=exclude,
+        exclude_subject=train_exclude,
     )
     # test features: one image per class → pass the per-class slice
     test_img = img.reshape(-1, 10, img.shape[-1])[:, 0] if img.shape[0] % 10 == 0 else img
     test = build_retrieval_data(
         data_path, subjects, train=False,
         img_features=test_img[: 200], text_features=txt[:200],
-        exclude_subject=exclude, average_test_reps=average_test,
+        exclude_subject=test_subject, average_test_reps=average_test,
     )
     return train, test
 
@@ -109,8 +119,19 @@ def cmd_train_retrieval(args):
     else:
         model = build_encoder(args.encoder, dtype=dtype)
 
-    exclude = args.test_subject if args.joint else None
-    train, test = _build_retrieval_splits(args, subjects, exclude=exclude)
+    if getattr(args, "cross_subject", False):
+        # leave-one-out: drop the test subject from training
+        train, test = _build_retrieval_splits(
+            args, subjects,
+            train_exclude=args.test_subject, test_subject=args.test_subject,
+        )
+    elif args.joint:
+        # joint: all subjects train (incl. the test subject), eval on one
+        train, test = _build_retrieval_splits(
+            args, subjects, test_subject=args.test_subject
+        )
+    else:
+        train, test = _build_retrieval_splits(args, subjects)
     mesh = create_mesh() if args.mesh else None
     run_id = time.strftime("%Y-%m-%d_%H-%M-%S")
     sub_tag = args.test_subject or subjects[0]
@@ -338,6 +359,8 @@ def main(argv=None):
     p.add_argument("--subjects", default="sub-01")
     p.add_argument("--joint", action="store_true",
                    help="joint training over all subjects (C18)")
+    p.add_argument("--cross-subject", action="store_true",
+                   help="leave-one-out: exclude --test-subject from training")
     p.add_argument("--test-subject", default=None)
     p.add_argument("--mesh", action="store_true", help="use all devices (dp)")
     p.set_defaults(recon=False, fn=cmd_train_retrieval)
@@ -347,8 +370,8 @@ def main(argv=None):
     p.add_argument("--encoder", default="atms")
     p.add_argument("--subjects", default="sub-08")
     p.add_argument("--mesh", action="store_true")
-    p.set_defaults(recon=True, joint=False, test_subject=None,
-                   fn=cmd_train_retrieval)
+    p.set_defaults(recon=True, joint=False, cross_subject=False,
+                   test_subject=None, fn=cmd_train_retrieval)
 
     p = sub.add_parser("train-prior", help="diffusion prior training")
     _add_common(p)
