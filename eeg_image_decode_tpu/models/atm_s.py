@@ -102,13 +102,11 @@ class ChannelAttentionLayer(nn.Module):
         ln2_s, ln2_b = _LNParams(self.d_model, name="norm2")()
 
         no_dropout = deterministic or self.dropout == 0.0
-        # The fused kernel wins whenever no backward pass recomputation is
-        # needed (eval / dropout-free). With dropout, the custom-VJP backward
-        # re-runs the XLA forward for residuals, which eats the fusion win
-        # (measured 34.2k vs 36.0k samples/s) — so training keeps the XLA
-        # path until a native Pallas backward lands. The mask-capable kernel
-        # below is still exercised and tested for that future path.
-        if no_dropout and self._use_fused():
+        # Both directions are Pallas: the forward kernel plus a native
+        # backward that remats inside VMEM (ops/attention.py::_bwd_kernel),
+        # so training — including dropout via in-kernel keep-masks — runs
+        # fully fused.
+        if self._use_fused():
             params = {
                 "wq": wq, "bq": bq, "wk": wk, "bk": bk, "wv": wv, "bv": bv,
                 "wo": wo, "bo": bo, "ln1_s": ln1_s, "ln1_b": ln1_b,

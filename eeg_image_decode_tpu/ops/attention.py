@@ -158,7 +158,7 @@ def _attention_pallas(x, params, masks, n_heads: int, interpret: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     B, L, D = x.shape
-    bt = 8
+    bt = 8 if x.dtype == jnp.bfloat16 else 4  # fp32 halves the tile (VMEM)
     n_blocks = -(-B // bt)
     pad = n_blocks * bt - B
     has_masks = masks is not None
@@ -222,6 +222,18 @@ def _fwd(x, params, masks, n_heads, interpret):
 
 def _bwd(n_heads, interpret, res, g):
     x, params, masks = res
+    gx, gp = _attention_pallas_bwd(x, params, masks, g, n_heads, interpret)
+    g_masks = (
+        None if masks is None
+        else jax.tree_util.tree_map(jnp.zeros_like, masks)
+    )
+    return gx, gp, g_masks
+
+
+def _bwd_xla(n_heads, interpret, res, g):
+    """Reference backward (XLA vjp of the reference forward) — kept for
+    numerical cross-checks of the native Pallas backward."""
+    x, params, masks = res
     _, vjp = jax.vjp(
         lambda xx, pp: attention_layer_reference(
             xx, pp, masks, n_heads=n_heads
@@ -237,3 +249,248 @@ def _bwd(n_heads, interpret, res, g):
 
 
 fused_attention_layer.defvjp(_fwd, _bwd)
+
+
+# ————————————————————————————————————————————————————————————————————————
+# Native Pallas backward: recomputes the forward inside the kernel (VMEM
+# remat — nothing round-trips HBM) and accumulates fp32 parameter grads
+# across grid steps into shared output blocks. This is what lets training
+# run the fused layer: the generic custom-VJP route would re-run the XLA
+# forward for residuals and give the fusion win back.
+# ————————————————————————————————————————————————————————————————————————
+
+
+def _gelu_tanh_and_grad(u32):
+    c = np.float32(np.sqrt(2.0 / np.pi))
+    a = np.float32(0.044715)
+    inner = c * (u32 + a * u32 * u32 * u32)
+    t = jnp.tanh(inner)
+    g = 0.5 * u32 * (1.0 + t)
+    dg = 0.5 * (1.0 + t) + 0.5 * u32 * (1.0 - t * t) * c * (
+        1.0 + 3.0 * a * u32 * u32
+    )
+    return g, dg
+
+
+def _bwd_kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, ln1_s, ln1_b,
+                w1, b1, w2, b2, ln2_s, ln2_b, *rest,
+                n_heads: int, bt: int, has_masks: bool):
+    if has_masks:
+        (m_attn, m_res, m_ffn1, m_ffn2, g_ref,
+         dx_ref, dwq_r, dbq_r, dwk_r, dbk_r, dwv_r, dbv_r, dwo_r, dbo_r,
+         dln1s_r, dln1b_r, dw1_r, db1_r, dw2_r, db2_r, dln2s_r, dln2b_r) = rest
+    else:
+        (g_ref,
+         dx_ref, dwq_r, dbq_r, dwk_r, dbk_r, dwv_r, dbv_r, dwo_r, dbo_r,
+         dln1s_r, dln1b_r, dw1_r, db1_r, dw2_r, db2_r, dln2s_r, dln2b_r) = rest
+
+    import jax.experimental.pallas as pl
+
+    L = x_ref.shape[1]
+    D = x_ref.shape[2]
+    inner = wq.shape[1]
+    hd = inner // n_heads
+    dt = x_ref.dtype
+    N = bt * L
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in (dwq_r, dbq_r, dwk_r, dbk_r, dwv_r, dbv_r, dwo_r, dbo_r,
+                  dln1s_r, dln1b_r, dw1_r, db1_r, dw2_r, db2_r,
+                  dln2s_r, dln2b_r):
+            r[:] = jnp.zeros_like(r)
+
+    x = x_ref[:].reshape(N, D)
+    g_out = g_ref[:].reshape(N, D).astype(jnp.float32)
+
+    def mm(a, b):  # (N,·)@(·,·) in compute dtype, fp32 accum
+        return jnp.dot(a.astype(dt), b.astype(dt),
+                       preferred_element_type=jnp.float32)
+
+    # ——— forward recompute ———
+    q = (mm(x, wq[:]) + bq[:]).astype(dt)
+    k = (mm(x, wk[:]) + bk[:]).astype(dt)
+    v = (mm(x, wv[:]) + bv[:]).astype(dt)
+
+    scale = np.float32(1.0 / np.sqrt(hd))
+    probs_list, probsm_list, oh_list = [], [], []
+    for h in range(n_heads):
+        qh = q[:, h * hd:(h + 1) * hd].reshape(bt, L, hd)
+        kh = k[:, h * hd:(h + 1) * hd].reshape(bt, L, hd)
+        vh = v[:, h * hd:(h + 1) * hd].reshape(bt, L, hd)
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s * scale, axis=-1)           # fp32 (bt,L,L)
+        pm = p * m_attn[:, h].astype(jnp.float32) if has_masks else p
+        oh = jax.lax.dot_general(pm.astype(dt), vh, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        probs_list.append(p)
+        probsm_list.append(pm)
+        oh_list.append(oh.astype(dt).reshape(N, hd))
+    concat_o = jnp.concatenate(oh_list, axis=1)          # (N, inner) dt
+    attn = (mm(concat_o, wo[:]) + bo[:]).astype(jnp.float32)
+    if has_masks:
+        mres = m_res[:].reshape(N, D).astype(jnp.float32)
+        attn = attn * mres
+    r1 = x.astype(jnp.float32) + attn
+
+    eps = np.float32(1e-6)
+
+    def ln_fwd(h32, s_p, b_p):
+        mu = jnp.mean(h32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(h32 - mu), axis=-1, keepdims=True)
+        inv = jax.lax.rsqrt(var + eps)
+        xhat = (h32 - mu) * inv
+        return xhat * s_p[:] + b_p[:], xhat, inv
+
+    h1, xhat1, inv1 = ln_fwd(r1, ln1_s, ln1_b)
+    h1dt = h1.astype(dt)
+    u = mm(h1dt, w1[:]) + b1[:]                          # fp32 (N, FF)
+    g1, dgelu = _gelu_tanh_and_grad(u)
+    if has_masks:
+        mf1 = m_ffn1[:].reshape(N, -1).astype(jnp.float32)
+        g1m = g1 * mf1
+    else:
+        g1m = g1
+    z = mm(g1m.astype(dt), w2[:]) + b2[:]                # fp32 (N, D)
+    if has_masks:
+        mf2 = m_ffn2[:].reshape(N, D).astype(jnp.float32)
+        z = z * mf2
+    r2 = h1 + z
+    _, xhat2, inv2 = ln_fwd(r2, ln2_s, ln2_b)
+
+    # ——— backward ———
+    def ln_bwd(gy, xhat, inv, s_p):
+        ds = jnp.sum(gy * xhat, axis=0)
+        db = jnp.sum(gy, axis=0)
+        gxh = gy * s_p[:].astype(jnp.float32)
+        gx = (gxh - jnp.mean(gxh, axis=-1, keepdims=True)
+              - xhat * jnp.mean(gxh * xhat, axis=-1, keepdims=True)) * inv
+        return gx, ds, db
+
+    d_r2, ds2, db2_ln = ln_bwd(g_out, xhat2, inv2, ln2_s)
+    dln2s_r[:] += ds2
+    dln2b_r[:] += db2_ln
+
+    d_h1 = d_r2
+    d_z = d_r2 * mf2 if has_masks else d_r2
+    dw2_r[:] += mm(g1m.astype(dt).T, d_z.astype(dt))
+    db2_r[:] += jnp.sum(d_z, axis=0)
+    d_g1m = mm(d_z.astype(dt), w2[:].T)
+    d_g1 = d_g1m * mf1 if has_masks else d_g1m
+    d_u = d_g1 * dgelu
+    dw1_r[:] += mm(h1dt.T, d_u.astype(dt))
+    db1_r[:] += jnp.sum(d_u, axis=0)
+    d_h1 = d_h1 + mm(d_u.astype(dt), w1[:].T)
+
+    d_r1, ds1, db1_ln = ln_bwd(d_h1, xhat1, inv1, ln1_s)
+    dln1s_r[:] += ds1
+    dln1b_r[:] += db1_ln
+
+    dx = d_r1  # fp32 (N, D)
+    d_attn = d_r1 * mres if has_masks else d_r1
+    dwo_r[:] += mm(concat_o.T, d_attn.astype(dt))
+    dbo_r[:] += jnp.sum(d_attn, axis=0)
+    d_concat = mm(d_attn.astype(dt), wo[:].T)            # (N, inner) fp32
+
+    d_q_parts, d_k_parts, d_v_parts = [], [], []
+    for h in range(n_heads):
+        d_oh = d_concat[:, h * hd:(h + 1) * hd].reshape(bt, L, hd)
+        vh = v[:, h * hd:(h + 1) * hd].reshape(bt, L, hd)
+        kh = k[:, h * hd:(h + 1) * hd].reshape(bt, L, hd)
+        qh = q[:, h * hd:(h + 1) * hd].reshape(bt, L, hd)
+        pm = probsm_list[h]
+        p = probs_list[h]
+        # d_pm = d_oh @ vh^T ; d_v = pm^T @ d_oh
+        d_pm = jax.lax.dot_general(d_oh.astype(dt), vh,
+                                   (((2,), (2,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32)
+        d_vh = jax.lax.dot_general(pm.astype(dt), d_oh.astype(dt),
+                                   (((1,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32)
+        d_p = d_pm * m_attn[:, h].astype(jnp.float32) if has_masks else d_pm
+        d_s = (d_p - jnp.sum(d_p * p, axis=-1, keepdims=True)) * p * scale
+        d_qh = jax.lax.dot_general(d_s.astype(dt), kh,
+                                   (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32)
+        d_kh = jax.lax.dot_general(d_s.astype(dt), qh,
+                                   (((1,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32)
+        d_q_parts.append(d_qh.reshape(N, hd))
+        d_k_parts.append(d_kh.reshape(N, hd))
+        d_v_parts.append(d_vh.reshape(N, hd))
+    d_q = jnp.concatenate(d_q_parts, axis=1)
+    d_k = jnp.concatenate(d_k_parts, axis=1)
+    d_v = jnp.concatenate(d_v_parts, axis=1)
+
+    dwq_r[:] += mm(x.T, d_q.astype(dt))
+    dbq_r[:] += jnp.sum(d_q, axis=0)
+    dwk_r[:] += mm(x.T, d_k.astype(dt))
+    dbk_r[:] += jnp.sum(d_k, axis=0)
+    dwv_r[:] += mm(x.T, d_v.astype(dt))
+    dbv_r[:] += jnp.sum(d_v, axis=0)
+
+    dx = dx + mm(d_q.astype(dt), wq[:].T)
+    dx = dx + mm(d_k.astype(dt), wk[:].T)
+    dx = dx + mm(d_v.astype(dt), wv[:].T)
+    dx_ref[:] = dx.astype(dx_ref.dtype).reshape(bt, L, D)
+
+
+def _attention_pallas_bwd(x, params, masks, g, n_heads: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, D = x.shape
+    bt = 8 if x.dtype == jnp.bfloat16 else 4  # fp32 halves the tile (VMEM)
+    n_blocks = -(-B // bt)
+    pad = n_blocks * bt - B
+    has_masks = masks is not None
+
+    def pad0(a):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) if pad else a
+
+    x_p = pad0(x)
+    g_p = pad0(g)
+    flat = [jnp.asarray(params[k], x.dtype) for k in _PARAM_ORDER]
+
+    def w_spec(arr):
+        shape = arr.shape
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def batch_spec(arr):
+        shape = (bt,) + arr.shape[1:]
+        return pl.BlockSpec(shape, lambda i: (i,) + (0,) * (arr.ndim - 1),
+                            memory_space=pltpu.VMEM)
+
+    mask_args, mask_specs = [], []
+    if has_masks:
+        for kname in ("m_attn", "m_res", "m_ffn1", "m_ffn2"):
+            m = pad0(jnp.asarray(masks[kname], x.dtype))
+            mask_args.append(m)
+            mask_specs.append(batch_spec(m))
+
+    # param-grad outputs accumulate into block (0, …) every grid step (fp32)
+    grad_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in flat]
+    grad_specs = [w_spec(a) for a in flat]
+
+    out = pl.pallas_call(
+        partial(_bwd_kernel, n_heads=n_heads, bt=bt, has_masks=has_masks),
+        grid=(n_blocks,),
+        in_specs=[batch_spec(x_p)] + [w_spec(a) for a in flat] + mask_specs
+        + [batch_spec(g_p)],
+        out_specs=[batch_spec(x_p)] + grad_specs,
+        out_shape=[jax.ShapeDtypeStruct(x_p.shape, x.dtype)] + grad_shapes,
+        # param grads accumulate into revisited output blocks → the grid must
+        # execute in order, not be parallelized/double-buffered
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )(x_p, *flat, *mask_args, g_p)
+    dx = out[0][:B]
+    dparams = {
+        k: gr.astype(params[k].dtype)
+        for k, gr in zip(_PARAM_ORDER, out[1:])
+    }
+    return dx, dparams
