@@ -104,9 +104,11 @@ class ChannelAttentionLayer(nn.Module):
         no_dropout = deterministic or self.dropout == 0.0
         # Both directions are Pallas: the forward kernel plus a native
         # backward that remats inside VMEM (ops/attention.py::_bwd_kernel),
-        # so training — including dropout via in-kernel keep-masks — runs
-        # fully fused.
-        if self._use_fused():
+        # so training — including dropout drawn by the in-kernel TPU PRNG —
+        # runs fully fused. Off-TPU the hardware PRNG doesn't exist
+        # (interpret mode stubs it), so dropout training falls back to XLA.
+        on_tpu = jax.default_backend() == "tpu"
+        if self._use_fused() and (no_dropout or on_tpu):
             params = {
                 "wq": wq, "bq": bq, "wk": wk, "bk": bk, "wv": wv, "bv": bv,
                 "wo": wo, "bo": bo, "ln1_s": ln1_s, "ln1_b": ln1_b,
@@ -114,30 +116,19 @@ class ChannelAttentionLayer(nn.Module):
                 "ln2_s": ln2_s, "ln2_b": ln2_b,
             }
             params = jax.tree_util.tree_map(lambda p: p.astype(dt), params)
-            masks = None
+            seed = None
+            p_drop = 0.0
             if not no_dropout:
-                # pre-scaled keep-masks for the layer's four dropout sites;
-                # generated here (cheap RBG PRNG) and applied inside the
-                # fused kernel, shared with its backward pass
-                rng = self.make_rng("dropout")
-                keep = 1.0 - self.dropout
-                ks = jax.random.split(rng, 4)
-                head_dim = self.d_model // self.n_heads
-
-                def mk(k, shape):
-                    return (
-                        jax.random.bernoulli(k, keep, shape).astype(dt) / keep
-                    )
-
-                masks = {
-                    "m_attn": mk(ks[0], (B, self.n_heads, L, L)),
-                    "m_res": mk(ks[1], (B, L, self.d_model)),
-                    "m_ffn1": mk(ks[2], (B, L, self.d_ff)),
-                    "m_ffn2": mk(ks[3], (B, L, self.d_model)),
-                }
+                # dropout masks are drawn INSIDE both kernels by the TPU
+                # hardware PRNG from this scalar seed — no mask HBM traffic
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1, jnp.int32
+                )
+                p_drop = self.dropout
             return fused_attention_layer(
-                x.astype(dt), params, masks, self.n_heads,
+                x.astype(dt), params, None, self.n_heads,
                 jax.default_backend() != "tpu",  # interpret off-TPU
+                p_drop, seed,
             )
 
         def dense(h, w, b):

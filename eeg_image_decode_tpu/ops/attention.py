@@ -87,18 +87,65 @@ def attention_layer_reference(x, params, masks=None, *, n_heads: int = 4):
     return ln(h + y, params["ln2_s"], params["ln2_b"])
 
 
+def _draw_keep_masks(seed_ref, dropout_p, n_heads, bt, L, D, FF):
+    """In-kernel mask generation. Each mask RE-SEEDS the PRNG with its own
+    salt: the hardware PRNG is stateful and draws without data dependence
+    could be scheduled in different orders by the fwd and bwd compilations —
+    per-draw seeding makes every mask a pure function of (seed, grid position,
+    salt), so both kernels reproduce identical masks with zero HBM traffic.
+    Masks are fp32 (callers cast at the multiply site)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    base = seed_ref[0, 0] * 131 + pl.program_id(0) * 16
+    keep = 1.0 - dropout_p
+    thresh = np.uint32(int(keep * 0xFFFFFFFF))
+    inv_keep = np.float32(1.0 / keep)
+
+    def draw(shape, salt):
+        pltpu.prng_seed(base + salt)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return jnp.where(bits < thresh, inv_keep, np.float32(0.0))
+
+    m_attn = [draw((bt, L, L), h) for h in range(n_heads)]
+    m_res = draw((bt * L, D), n_heads)
+    m_ffn1 = draw((bt * L, FF), n_heads + 1)
+    m_ffn2 = draw((bt * L, D), n_heads + 2)
+    return m_attn, m_res, m_ffn1, m_ffn2
+
+
 def _kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, ln1_s, ln1_b,
             w1, b1, w2, b2, ln2_s, ln2_b, *rest, n_heads: int, bt: int,
-            has_masks: bool):
+            has_masks: bool, dropout_p: float = 0.0):
+    has_seed = dropout_p > 0.0 and not has_masks
     if has_masks:
-        m_attn, m_res, m_ffn1, m_ffn2, o_ref = rest
+        m_attn_r, m_res_r, m_ffn1_r, m_ffn2_r, o_ref = rest
+    elif has_seed:
+        seed_ref, o_ref = rest
     else:
         (o_ref,) = rest
     L = x_ref.shape[1]
     D = x_ref.shape[2]
     inner = wq.shape[1]
+    FF = w1.shape[1]
     hd = inner // n_heads
     dt = x_ref.dtype
+
+    use_drop = has_masks or has_seed
+    if has_masks:
+        ma = m_attn_r[:]
+        m_attn = [ma[:, h].astype(dt) for h in range(n_heads)]
+        m_res = m_res_r[:].reshape(bt * L, D).astype(dt)
+        m_ffn1 = m_ffn1_r[:].reshape(bt * L, FF).astype(dt)
+        m_ffn2 = m_ffn2_r[:].reshape(bt * L, D).astype(dt)
+    elif has_seed:
+        ma_l, mr_d, mf1_d, mf2_d = _draw_keep_masks(
+            seed_ref, dropout_p, n_heads, bt, L, D, FF
+        )
+        m_attn = [m.astype(dt) for m in ma_l]
+        m_res = mr_d.astype(dt)
+        m_ffn1 = mf1_d.astype(dt)
+        m_ffn2 = mf2_d.astype(dt)
 
     x = x_ref[:].reshape(bt * L, D)
 
@@ -123,8 +170,8 @@ def _kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, ln1_s, ln1_b,
             preferred_element_type=jnp.float32,
         )  # (bt, L, L)
         probs = jax.nn.softmax(scores * scale, axis=-1).astype(dt)
-        if has_masks:
-            probs = probs * m_attn[:, h].astype(dt)
+        if use_drop:
+            probs = probs * m_attn[h]
         oh = jax.lax.dot_general(
             probs, vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -132,8 +179,8 @@ def _kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, ln1_s, ln1_b,
         heads.append(oh.reshape(bt * L, hd))
     attn = jnp.concatenate(heads, axis=1)
     attn = dense(attn, wo, bo)
-    if has_masks:
-        attn = attn * m_res[:].reshape(bt * L, D).astype(dt)
+    if use_drop:
+        attn = attn * m_res
 
     def ln(h, s_r, b_r):
         h32 = h.astype(jnp.float32)
@@ -144,11 +191,11 @@ def _kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, ln1_s, ln1_b,
     h1 = ln(x + attn, ln1_s, ln1_b)
     y = dense(h1, w1, b1)
     y = jax.nn.gelu(y.astype(jnp.float32), approximate=True).astype(dt)
-    if has_masks:
-        y = y * m_ffn1[:].reshape(bt * L, -1).astype(dt)
+    if use_drop:
+        y = y * m_ffn1
     y = dense(y, w2, b2)
-    if has_masks:
-        y = y * m_ffn2[:].reshape(bt * L, D).astype(dt)
+    if use_drop:
+        y = y * m_ffn2
     o_ref[:] = ln(h1 + y, ln2_s, ln2_b).reshape(bt, L, D)
 
 
@@ -156,7 +203,14 @@ _PARAM_ORDER = ("wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo",
                 "ln1_s", "ln1_b", "w1", "b1", "w2", "b2", "ln2_s", "ln2_b")
 
 
-def _attention_pallas(x, params, masks, n_heads: int, interpret: bool):
+def _seed_arg_and_spec(seed, pl, pltpu):
+    s = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    return s, spec
+
+
+def _attention_pallas(x, params, masks, n_heads: int, interpret: bool,
+                      dropout_p: float = 0.0, seed=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -165,6 +219,7 @@ def _attention_pallas(x, params, masks, n_heads: int, interpret: bool):
     n_blocks = -(-B // bt)
     pad = n_blocks * bt - B
     has_masks = masks is not None
+    has_seed = dropout_p > 0.0 and seed is not None and not has_masks
 
     def pad0(a):
         return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) if pad else a
@@ -182,61 +237,73 @@ def _attention_pallas(x, params, masks, n_heads: int, interpret: bool):
         return pl.BlockSpec(shape, lambda i: (i,) + (0,) * (arr.ndim - 1),
                             memory_space=pltpu.VMEM)
 
-    mask_args, mask_specs = [], []
+    extra_args, extra_specs = [], []
     if has_masks:
         for k in ("m_attn", "m_res", "m_ffn1", "m_ffn2"):
             m = pad0(jnp.asarray(masks[k], x.dtype))
-            mask_args.append(m)
-            mask_specs.append(batch_spec(m))
+            extra_args.append(m)
+            extra_specs.append(batch_spec(m))
+    elif has_seed:
+        s, spec = _seed_arg_and_spec(seed, pl, pltpu)
+        extra_args.append(s)
+        extra_specs.append(spec)
 
     out = pl.pallas_call(
-        partial(_kernel, n_heads=n_heads, bt=bt, has_masks=has_masks),
+        partial(_kernel, n_heads=n_heads, bt=bt, has_masks=has_masks,
+                dropout_p=dropout_p if has_seed else 0.0),
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec((bt, L, D), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [w_spec(a) for a in flat]
-        + mask_specs,
+        + extra_specs,
         out_specs=pl.BlockSpec((bt, L, D), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks * bt, L, D), x.dtype),
         interpret=interpret,
-    )(x, *flat, *mask_args)
+    )(x, *flat, *extra_args)
     return out[:B]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_attention_layer(x, params, masks=None, n_heads: int = 4,
-                          interpret: bool = False):
+                          interpret: bool = False, dropout_p: float = 0.0,
+                          seed=None):
     """Fused post-norm attention layer: (B, L, D) → (B, L, D).
 
-    ``masks``: optional dict of pre-scaled dropout keep-masks (see
-    ``attention_layer_reference``) applied inside the kernel — this is how
-    train-mode dropout rides the fused path (masks are generated outside with
-    the cheap RBG PRNG and shared with the backward pass)."""
-    return _attention_pallas(x, params, masks, n_heads, interpret)
+    Dropout, two ways:
+    - ``masks``: explicit pre-scaled keep-mask dict (see
+      ``attention_layer_reference``) — used by the XLA-comparison tests.
+    - ``dropout_p`` + ``seed`` (scalar int32): masks are drawn INSIDE the
+      kernel with the TPU hardware PRNG, and the backward kernel re-seeds
+      identically so fwd/bwd agree — zero mask HBM traffic. This is the
+      training path."""
+    return _attention_pallas(x, params, masks, n_heads, interpret,
+                             dropout_p, seed)
 
 
-def _fwd(x, params, masks, n_heads, interpret):
+def _fwd(x, params, masks, n_heads, interpret, dropout_p, seed):
     return (
-        fused_attention_layer(x, params, masks, n_heads, interpret),
-        (x, params, masks),
+        fused_attention_layer(x, params, masks, n_heads, interpret,
+                              dropout_p, seed),
+        (x, params, masks, seed),
     )
 
 
-def _bwd(n_heads, interpret, res, g):
-    x, params, masks = res
-    gx, gp = _attention_pallas_bwd(x, params, masks, g, n_heads, interpret)
+def _bwd(n_heads, interpret, dropout_p, res, g):
+    x, params, masks, seed = res
+    gx, gp = _attention_pallas_bwd(x, params, masks, g, n_heads, interpret,
+                                   dropout_p, seed)
     g_masks = (
         None if masks is None
         else jax.tree_util.tree_map(jnp.zeros_like, masks)
     )
-    return gx, gp, g_masks
+    return gx, gp, g_masks, None
 
 
-def _bwd_xla(n_heads, interpret, res, g):
+def _bwd_xla(n_heads, interpret, dropout_p, res, g):
     """Reference backward (XLA vjp of the reference forward) — kept for
-    numerical cross-checks of the native Pallas backward."""
-    x, params, masks = res
+    numerical cross-checks of the native Pallas backward (mask mode only)."""
+    x, params, masks, _ = res
     _, vjp = jax.vjp(
         lambda xx, pp: attention_layer_reference(
             xx, pp, masks, n_heads=n_heads
@@ -248,7 +315,7 @@ def _bwd_xla(n_heads, interpret, res, g):
         None if masks is None
         else jax.tree_util.tree_map(jnp.zeros_like, masks)
     )
-    return gx, gp, g_masks
+    return gx, gp, g_masks, None
 
 
 fused_attention_layer.defvjp(_fwd, _bwd)
@@ -277,9 +344,15 @@ def _gelu_tanh_and_grad(u32):
 
 def _bwd_kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, ln1_s, ln1_b,
                 w1, b1, w2, b2, ln2_s, ln2_b, *rest,
-                n_heads: int, bt: int, has_masks: bool):
+                n_heads: int, bt: int, has_masks: bool,
+                dropout_p: float = 0.0):
+    has_seed = dropout_p > 0.0 and not has_masks
     if has_masks:
-        (m_attn, m_res, m_ffn1, m_ffn2, g_ref,
+        (m_attn_r, m_res_r, m_ffn1_r, m_ffn2_r, g_ref,
+         dx_ref, dwq_r, dbq_r, dwk_r, dbk_r, dwv_r, dbv_r, dwo_r, dbo_r,
+         dln1s_r, dln1b_r, dw1_r, db1_r, dw2_r, db2_r, dln2s_r, dln2b_r) = rest
+    elif has_seed:
+        (seed_ref, g_ref,
          dx_ref, dwq_r, dbq_r, dwk_r, dbk_r, dwv_r, dbv_r, dwo_r, dbo_r,
          dln1s_r, dln1b_r, dw1_r, db1_r, dw2_r, db2_r, dln2s_r, dln2b_r) = rest
     else:
@@ -292,9 +365,23 @@ def _bwd_kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, ln1_s, ln1_b,
     L = x_ref.shape[1]
     D = x_ref.shape[2]
     inner = wq.shape[1]
+    FF = w1.shape[1]
     hd = inner // n_heads
     dt = x_ref.dtype
     N = bt * L
+
+    use_drop = has_masks or has_seed
+    if has_masks:
+        ma_all = m_attn_r[:]
+        masks_attn = [ma_all[:, h].astype(jnp.float32) for h in range(n_heads)]
+        mres = m_res_r[:].reshape(N, D).astype(jnp.float32)
+        mf1 = m_ffn1_r[:].reshape(N, FF).astype(jnp.float32)
+        mf2 = m_ffn2_r[:].reshape(N, D).astype(jnp.float32)
+    elif has_seed:
+        # identical draw order/seeding as the forward kernel → same masks
+        masks_attn, mres, mf1, mf2 = _draw_keep_masks(
+            seed_ref, dropout_p, n_heads, bt, L, D, FF
+        )
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -324,7 +411,7 @@ def _bwd_kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, ln1_s, ln1_b,
         s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         p = jax.nn.softmax(s * scale, axis=-1)           # fp32 (bt,L,L)
-        pm = p * m_attn[:, h].astype(jnp.float32) if has_masks else p
+        pm = p * masks_attn[h] if use_drop else p
         oh = jax.lax.dot_general(pm.astype(dt), vh, (((2,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
         probs_list.append(p)
@@ -332,8 +419,7 @@ def _bwd_kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, ln1_s, ln1_b,
         oh_list.append(oh.astype(dt).reshape(N, hd))
     concat_o = jnp.concatenate(oh_list, axis=1)          # (N, inner) dt
     attn = (mm(concat_o, wo[:]) + bo[:]).astype(jnp.float32)
-    if has_masks:
-        mres = m_res[:].reshape(N, D).astype(jnp.float32)
+    if use_drop:
         attn = attn * mres
     r1 = x.astype(jnp.float32) + attn
 
@@ -350,14 +436,9 @@ def _bwd_kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, ln1_s, ln1_b,
     h1dt = h1.astype(dt)
     u = mm(h1dt, w1[:]) + b1[:]                          # fp32 (N, FF)
     g1, dgelu = _gelu_tanh_and_grad(u)
-    if has_masks:
-        mf1 = m_ffn1[:].reshape(N, -1).astype(jnp.float32)
-        g1m = g1 * mf1
-    else:
-        g1m = g1
+    g1m = g1 * mf1 if use_drop else g1
     z = mm(g1m.astype(dt), w2[:]) + b2[:]                # fp32 (N, D)
-    if has_masks:
-        mf2 = m_ffn2[:].reshape(N, D).astype(jnp.float32)
+    if use_drop:
         z = z * mf2
     r2 = h1 + z
     _, xhat2, inv2 = ln_fwd(r2, ln2_s, ln2_b)
@@ -376,11 +457,11 @@ def _bwd_kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, ln1_s, ln1_b,
     dln2b_r[:] += db2_ln
 
     d_h1 = d_r2
-    d_z = d_r2 * mf2 if has_masks else d_r2
+    d_z = d_r2 * mf2 if use_drop else d_r2
     dw2_r[:] += mm(g1m.astype(dt).T, d_z.astype(dt))
     db2_r[:] += jnp.sum(d_z, axis=0)
     d_g1m = mm(d_z.astype(dt), w2[:].T)
-    d_g1 = d_g1m * mf1 if has_masks else d_g1m
+    d_g1 = d_g1m * mf1 if use_drop else d_g1m
     d_u = d_g1 * dgelu
     dw1_r[:] += mm(h1dt.T, d_u.astype(dt))
     db1_r[:] += jnp.sum(d_u, axis=0)
@@ -391,7 +472,7 @@ def _bwd_kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, ln1_s, ln1_b,
     dln1b_r[:] += db1_ln
 
     dx = d_r1  # fp32 (N, D)
-    d_attn = d_r1 * mres if has_masks else d_r1
+    d_attn = d_r1 * mres if use_drop else d_r1
     dwo_r[:] += mm(concat_o.T, d_attn.astype(dt))
     dbo_r[:] += jnp.sum(d_attn, axis=0)
     d_concat = mm(d_attn.astype(dt), wo[:].T)            # (N, inner) fp32
@@ -411,7 +492,7 @@ def _bwd_kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, ln1_s, ln1_b,
         d_vh = jax.lax.dot_general(pm.astype(dt), d_oh.astype(dt),
                                    (((1,), (1,)), ((0,), (0,))),
                                    preferred_element_type=jnp.float32)
-        d_p = d_pm * m_attn[:, h].astype(jnp.float32) if has_masks else d_pm
+        d_p = d_pm * masks_attn[h] if use_drop else d_pm
         d_s = (d_p - jnp.sum(d_p * p, axis=-1, keepdims=True)) * p * scale
         d_qh = jax.lax.dot_general(d_s.astype(dt), kh,
                                    (((2,), (1,)), ((0,), (0,))),
@@ -439,7 +520,8 @@ def _bwd_kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, ln1_s, ln1_b,
     dx_ref[:] = dx.astype(dx_ref.dtype).reshape(bt, L, D)
 
 
-def _attention_pallas_bwd(x, params, masks, g, n_heads: int, interpret: bool):
+def _attention_pallas_bwd(x, params, masks, g, n_heads: int, interpret: bool,
+                          dropout_p: float = 0.0, seed=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -448,6 +530,7 @@ def _attention_pallas_bwd(x, params, masks, g, n_heads: int, interpret: bool):
     n_blocks = -(-B // bt)
     pad = n_blocks * bt - B
     has_masks = masks is not None
+    has_seed = dropout_p > 0.0 and seed is not None and not has_masks
 
     def pad0(a):
         return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) if pad else a
@@ -472,13 +555,18 @@ def _attention_pallas_bwd(x, params, masks, g, n_heads: int, interpret: bool):
             m = pad0(jnp.asarray(masks[kname], x.dtype))
             mask_args.append(m)
             mask_specs.append(batch_spec(m))
+    elif has_seed:
+        s, spec = _seed_arg_and_spec(seed, pl, pltpu)
+        mask_args.append(s)
+        mask_specs.append(spec)
 
     # param-grad outputs accumulate into block (0, …) every grid step (fp32)
     grad_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in flat]
     grad_specs = [w_spec(a) for a in flat]
 
     out = pl.pallas_call(
-        partial(_bwd_kernel, n_heads=n_heads, bt=bt, has_masks=has_masks),
+        partial(_bwd_kernel, n_heads=n_heads, bt=bt, has_masks=has_masks,
+                dropout_p=dropout_p if has_seed else 0.0),
         grid=(n_blocks,),
         in_specs=[batch_spec(x_p)] + [w_spec(a) for a in flat] + mask_specs
         + [batch_spec(g_p)],

@@ -113,3 +113,22 @@ def test_fused_with_dropout_masks_matches_reference(rng):
     g_r = jax.grad(lambda x: jnp.sum(ref(x, params, masks, n_heads=H) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_in_kernel_prng_dropout_deterministic_and_grad_consistent(rng):
+    """Seed-mode dropout (TPU-only: the hardware PRNG has no CPU-interpret
+    implementation). Determinism + seed sensitivity here; the strong check —
+    bit-exact fwd/grad equality against extracted explicit masks — lives in
+    scripts/validate_tpu.py (run on the real chip)."""
+    if jax.default_backend() != "tpu":
+        import pytest
+
+        pytest.skip("in-kernel PRNG requires a real TPU")
+    params = _params(rng)
+    x = jnp.asarray(rng.normal(size=(2, L, D)).astype(np.float32))
+    seed = jnp.asarray(1234, jnp.int32)
+    f = lambda x, s: fused_attention_layer(x, params, None, H, False, 0.25, s)
+    a, b = f(x, seed), f(x, seed)
+    c = f(x, jnp.asarray(999, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
