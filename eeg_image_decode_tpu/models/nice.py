@@ -21,6 +21,7 @@ class NICE(nn.Module):
     temporal_kernel: int = 25
     pool_size: int = 51
     pool_stride: int = 5
+    fused_tsconv: bool | str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -38,6 +39,7 @@ class NICE(nn.Module):
             temporal_kernel=self.temporal_kernel,
             pool_size=self.pool_size,
             pool_stride=self.pool_stride,
+            fused_stage1=self.fused_tsconv,
             dtype=self.dtype,
             name="enc_eeg",
         )(x, deterministic=deterministic)

@@ -112,3 +112,25 @@ def test_metrics_csv_written(tmp_path):
     assert csv_path.exists()
     header = csv_path.read_text().splitlines()[0]
     assert "loss" in header and "top1_k16" in header
+
+
+def test_pallas_kernel_under_gspmd_mesh_matches_single_device(mesh8):
+    """The fused Pallas tsconv inside a GSPMD batch-sharded train step must be
+    semantics-preserving — same trained params as the single-device run."""
+    train, test = _small_data()
+    cfg = ContrastiveTrainConfig(
+        encoder="nice", batch_size=32, epochs=1, lr=1e-3, eval_ks=(16,), seed=5,
+    )
+    model = build_encoder(
+        "nice", proj_dim=64, temporal_kernel=9, pool_size=16, pool_stride=4,
+        fused_tsconv=True,
+    )
+    t1 = ContrastiveTrainer(model, cfg, train, test)
+    t1.fit(log_fn=None)
+    t8 = ContrastiveTrainer(model, cfg, train, test, mesh=mesh8)
+    t8.fit(log_fn=None)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(t1.state.params)),
+        jax.tree_util.tree_leaves(jax.device_get(t8.state.params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
