@@ -35,6 +35,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--data-path", default=None)
     p.add_argument("--features", default=None,
                    help=".npz with img_features/text_features (see data.features)")
+    p.add_argument("--test-features", default=None,
+                   help=".npz with the 200 disjoint TEST-concept features "
+                        "(img_features/text_features); alternatively embed "
+                        "img_features_test/text_features_test in --features")
     p.add_argument("--output-dir", default="./runs")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
@@ -59,6 +63,34 @@ def _load_feature_file(path: str):
     return d["img_features"], d["text_features"]
 
 
+def _resolve_test_features(args, train_dict):
+    """Test-split CLIP features for the retrieval gallery.
+
+    THINGS test classes are 200 zero-shot concepts DISJOINT from the 1654
+    train concepts, each with its own image + text feature
+    (ref ``Retrieval/eegdatasets_leaveone.py:60-74`` computes a separate
+    ``ViT-H-14_features_test.pt``). Accepted sources, in order:
+
+    1. ``--test-features test.npz`` (img_features/text_features for the 200
+       test concepts);
+    2. ``img_features_test``/``text_features_test`` keys inside the main
+       ``--features`` file (one multi-split cache).
+
+    Deriving a gallery by slicing the *train* features is wrong on real data
+    and is refused.
+    """
+    if getattr(args, "test_features", None):
+        return _load_feature_file(args.test_features)
+    if "img_features_test" in train_dict and "text_features_test" in train_dict:
+        return train_dict["img_features_test"], train_dict["text_features_test"]
+    raise SystemExit(
+        "need test-split features: pass --test-features test.npz, or include "
+        "img_features_test/text_features_test in the --features file (THINGS "
+        "test concepts are disjoint from train concepts — the train features "
+        "cannot stand in for the test gallery)"
+    )
+
+
 def _build_retrieval_splits(
     args, subjects, *, train_exclude=None, test_subject=None, average_test=True
 ):
@@ -70,6 +102,7 @@ def _build_retrieval_splits(
     - cross-subject / leave-one-out: ``train_exclude`` drops the test subject
       from training; test on it
     """
+    from eeg_image_decode_tpu.data.features import load_features
     from eeg_image_decode_tpu.data.things_eeg import build_retrieval_data
 
     data_path = _resolve_data_path(args)
@@ -78,16 +111,16 @@ def _build_retrieval_splits(
             "need --features (precomputed CLIP cache .npz; see "
             "eeg_image_decode_tpu.data.features.load_or_compute_clip_features)"
         )
-    img, txt = _load_feature_file(args.features)
+    feats = load_features(args.features)
+    img, txt = feats["img_features"], feats["text_features"]
+    test_img, test_txt = _resolve_test_features(args, feats)
     train = build_retrieval_data(
         data_path, subjects, train=True, img_features=img, text_features=txt,
         exclude_subject=train_exclude,
     )
-    # test features: one image per class → pass the per-class slice
-    test_img = img.reshape(-1, 10, img.shape[-1])[:, 0] if img.shape[0] % 10 == 0 else img
     test = build_retrieval_data(
         data_path, subjects, train=False,
-        img_features=test_img[: 200], text_features=txt[:200],
+        img_features=test_img, text_features=test_txt,
         exclude_subject=test_subject, average_test_reps=average_test,
     )
     return train, test

@@ -1,0 +1,118 @@
+"""CLI retrieval-split plumbing.
+
+The reference computes a SEPARATE test-split feature cache from the 200
+zero-shot test concepts (``Retrieval/eegdatasets_leaveone.py:60-74``); those
+concepts are disjoint from the 1654 train concepts, so the test gallery must
+never be derived from the train features. These tests pin that the CLI
+refuses train-only features and scores against the real test gallery.
+"""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+from eeg_image_decode_tpu import cli
+from eeg_image_decode_tpu.data.features import save_features
+
+from test_data import _write_subject
+
+
+def _make_args(**kw):
+    ns = argparse.Namespace(
+        data_config=None, data_path=None, features=None, test_features=None,
+        output_dir="./runs", epochs=1, batch_size=8, lr=1e-3, seed=0,
+        dtype="float32",
+    )
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+@pytest.fixture
+def things_with_features(tmp_path):
+    """Fake THINGS tree + DISJOINT train/test feature sets with recognisable
+    values (train features are all +1, test features all -1)."""
+    n_cls = 6
+    _write_subject(tmp_path, "sub-01", n_cls=n_cls, train=True, reps=4)
+    _write_subject(tmp_path, "sub-01", n_cls=n_cls, train=False, reps=8)
+    D = 16
+    train_img = np.full((n_cls * 10, D), 1.0, np.float32)
+    train_txt = np.full((n_cls, D), 1.0, np.float32)
+    test_img = np.full((n_cls, D), -1.0, np.float32)
+    test_txt = np.full((n_cls, D), -1.0, np.float32)
+    train_file = tmp_path / "feat_train.npz"
+    test_file = tmp_path / "feat_test.npz"
+    save_features(str(train_file), img_features=train_img, text_features=train_txt)
+    save_features(str(test_file), img_features=test_img, text_features=test_txt)
+    return tmp_path, n_cls, str(train_file), str(test_file)
+
+
+def test_split_uses_separate_test_gallery(things_with_features):
+    path, n_cls, train_file, test_file = things_with_features
+    args = _make_args(data_path=str(path), features=train_file,
+                      test_features=test_file)
+    train, test = cli._build_retrieval_splits(args, ["sub-01"])
+    # the evaluator's gallery is test.class_img_features(); it must come from
+    # the TEST feature file (-1s), never a slice of the train features (+1s)
+    np.testing.assert_array_equal(test.class_img_features(),
+                                  np.full((n_cls, 16), -1.0, np.float32))
+    np.testing.assert_array_equal(test.text_features[0],
+                                  np.full((16,), -1.0, np.float32))
+    np.testing.assert_array_equal(train.img_features[0],
+                                  np.full((16,), 1.0, np.float32))
+    assert test.images_per_class == 1
+    assert test.n == n_cls  # averaged reps → one trial per test concept
+
+
+def test_split_accepts_multisplit_cache(things_with_features, tmp_path):
+    path, n_cls, _, _ = things_with_features
+    D = 16
+    multi = tmp_path / "feat_multi.npz"
+    save_features(
+        str(multi),
+        img_features=np.full((n_cls * 10, D), 1.0, np.float32),
+        text_features=np.full((n_cls, D), 1.0, np.float32),
+        img_features_test=np.full((n_cls, D), -2.0, np.float32),
+        text_features_test=np.full((n_cls, D), -2.0, np.float32),
+    )
+    args = _make_args(data_path=str(path), features=str(multi))
+    _, test = cli._build_retrieval_splits(args, ["sub-01"])
+    np.testing.assert_array_equal(test.class_img_features(),
+                                  np.full((n_cls, D), -2.0, np.float32))
+
+
+def test_split_refuses_train_only_features(things_with_features):
+    path, _, train_file, _ = things_with_features
+    args = _make_args(data_path=str(path), features=train_file)
+    with pytest.raises(SystemExit, match="test-split features"):
+        cli._build_retrieval_splits(args, ["sub-01"])
+
+
+def test_evaluator_scores_against_test_gallery(things_with_features):
+    """End-to-end: the trainer's k-way eval must rank against the test
+    gallery. With EEG-uncorrelated features, aligning the test gallery to a
+    degenerate single direction makes all similarities equal — detectable
+    only if the evaluator truly consumed the test features."""
+    import jax
+
+    from eeg_image_decode_tpu.core.config import ContrastiveTrainConfig
+    from eeg_image_decode_tpu.models import build_encoder
+    from eeg_image_decode_tpu.train import ContrastiveTrainer
+
+    path, n_cls, train_file, test_file = things_with_features
+    args = _make_args(data_path=str(path), features=train_file,
+                      test_features=test_file)
+    train, test = cli._build_retrieval_splits(args, ["sub-01"])
+    cfg = ContrastiveTrainConfig(encoder="nice", batch_size=16, epochs=1,
+                                 lr=1e-3, eval_ks=(2, n_cls))
+    trainer = ContrastiveTrainer(
+        build_encoder("nice", proj_dim=16), cfg, train, test
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(trainer.test_class_img_feat)),
+        test.class_img_features(),
+    )
+    trainer.fit()
+    assert np.isfinite(trainer.history[-1]["loss"])
