@@ -307,19 +307,46 @@ def cmd_generate(args):
     else:
         gen.init(jax.random.key(0))  # random weights: pipeline smoke only
 
+    if args.text_encoder_params and args.tokenizer_dir:
+        # encode '' once and install it as the default conditioning
+        # (ref custom_pipeline.py:239 — NOT zeros)
+        from eeg_image_decode_tpu.data.tokenizers import CLIPBPETokenizer
+        from eeg_image_decode_tpu.gen.text_encoder import (
+            SDXLTextEncoder,
+            SDXLTextEncoderConfig,
+        )
+
+        tok1 = CLIPBPETokenizer.from_files(
+            os.path.join(args.tokenizer_dir, "vocab.json"),
+            os.path.join(args.tokenizer_dir, "merges.txt"),
+        )
+        tok2 = CLIPBPETokenizer.from_files(
+            os.path.join(args.tokenizer_dir, "vocab.json"),
+            os.path.join(args.tokenizer_dir, "merges.txt"),
+            pad_token="!",
+        )
+        enc = SDXLTextEncoder(SDXLTextEncoderConfig())
+        with open(args.text_encoder_params, "rb") as f:
+            te_params = pickle.load(f)
+        ctx, pooled = enc.encode(te_params, [""], tok1, tok2)
+        gen.set_default_text_conditioning(ctx, pooled)
+
     os.makedirs(args.output_dir, exist_ok=True)
     from PIL import Image
 
     n = feats_test.shape[0]
     bs = args.gen_batch
     for start in range(0, n, bs):
-        emb = pipe.generate(
-            jnp.asarray(feats_test[start : start + bs]),
-            key=jax.random.key(start),
-        )
+        chunk = feats_test[start : start + bs]
+        real = chunk.shape[0]
+        if real < bs:  # pad the last batch: one jit trace per batch size only
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], bs - real, axis=0)], axis=0
+            )
+        emb = pipe.generate(jnp.asarray(chunk), key=jax.random.key(start))
         for seed in range(args.seeds):
             imgs = gen.generate(emb, key=jax.random.key(1000 + seed))
-            arr = np.asarray(jnp.round(imgs * 255)).astype(np.uint8)
+            arr = np.asarray(jnp.round(imgs * 255)).astype(np.uint8)[:real]
             for j in range(arr.shape[0]):
                 cls = start + j
                 cls_dir = os.path.join(args.output_dir, f"class_{cls:04d}")
@@ -431,6 +458,11 @@ def main(argv=None):
     p.add_argument("--prior-params", required=True)
     p.add_argument("--generator-params", default=None,
                    help="converted SDXL weights (pickle); random init if absent")
+    p.add_argument("--text-encoder-params", default=None,
+                   help="converted SDXL text-encoder weights (pickle, "
+                        "convert_sdxl_text_encoders output)")
+    p.add_argument("--tokenizer-dir", default=None,
+                   help="directory with the CLIP vocab.json + merges.txt")
     p.add_argument("--output-dir", default="./generated_imgs")
     p.add_argument("--seeds", type=int, default=10)
     p.add_argument("--gen-batch", type=int, default=50)

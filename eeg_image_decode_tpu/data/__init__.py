@@ -3,3 +3,7 @@ from eeg_image_decode_tpu.data.things_eeg import (  # noqa: F401
     load_things_eeg_subject,
 )
 from eeg_image_decode_tpu.data.synthetic import make_synthetic_retrieval_data  # noqa: F401
+from eeg_image_decode_tpu.data.tokenizers import (  # noqa: F401
+    CLIPBPETokenizer,
+    WordPieceTokenizer,
+)

@@ -62,6 +62,11 @@ class Generator4Embeds:
         self.vae = VAE(config.vae, dtype=dtype)
         self.schedule = EulerDiscreteSchedule(ancestral=True)
         self.params: dict | None = None
+        #: default (context, pooled) used when generate() gets no text args —
+        #: the encoded '' prompt (ref ``custom_pipeline.py:239``), set via
+        #: set_default_text_conditioning(). Zeros otherwise (random-weight
+        #: smoke runs only; real-weight parity requires the encoded '').
+        self._default_text: tuple[jax.Array, jax.Array | None] | None = None
 
     # — parameters —
     def init(self, key: jax.Array | None = None) -> dict:
@@ -121,6 +126,26 @@ class Generator4Embeds:
     def load_params(self, params: dict) -> None:
         self.params = params
 
+    def set_default_text_conditioning(
+        self, text_context: jax.Array, pooled_text_embed: jax.Array | None = None
+    ) -> None:
+        """Install the '' -prompt embeddings as the default conditioning.
+
+        ``text_context`` (1, L, ctx_dim) / ``pooled_text_embed`` (1, pooled)
+        are broadcast over the batch at generate() time. Compute them once
+        with :class:`~eeg_image_decode_tpu.gen.text_encoder.SDXLTextEncoder`:
+
+            ctx, pooled = encoder.encode(params, [""], tok1, tok2)
+            gen.set_default_text_conditioning(ctx, pooled)
+        """
+        ctx = jnp.asarray(text_context)
+        if ctx.ndim == 2:
+            ctx = ctx[None]
+        pooled = None if pooled_text_embed is None else jnp.asarray(
+            pooled_text_embed
+        ).reshape(1, -1)
+        self._default_text = (ctx, pooled)
+
     # — sampling —
     def generate(
         self,
@@ -149,9 +174,19 @@ class Generator4Embeds:
         key = key if key is not None else jax.random.key(0)
         b = image_embeds.shape[0]
         if text_context is None:
-            text_context = jnp.zeros(
-                (b, cfg.text_len, cfg.unet.cross_attention_dim)
-            )
+            if self._default_text is not None:
+                ctx0, pooled0 = self._default_text
+                text_context = jnp.broadcast_to(
+                    ctx0, (b, *ctx0.shape[1:])
+                )
+                if pooled_text_embed is None and pooled0 is not None:
+                    pooled_text_embed = jnp.broadcast_to(
+                        pooled0, (b, pooled0.shape[-1])
+                    )
+            else:
+                text_context = jnp.zeros(
+                    (b, cfg.text_len, cfg.unet.cross_attention_dim)
+                )
         strength = img2img_strength if init_latents is not None else 1.0
         return _generate_jit(
             self,

@@ -30,6 +30,9 @@ class CLIPVisionConfig:
     layers: int = 32
     heads: int = 16
     embed_dim: int = 1024  # output projection width
+    #: "gelu" (OpenCLIP laion checkpoints, e.g. ViT-H/14) or "quick_gelu"
+    #: (OpenAI CLIP checkpoints, e.g. the ViT-L/14 grid tower GIT uses)
+    act: str = "gelu"
 
     @staticmethod
     def vit_h_14() -> "CLIPVisionConfig":
@@ -37,12 +40,13 @@ class CLIPVisionConfig:
 
     @staticmethod
     def vit_l_14() -> "CLIPVisionConfig":
-        return CLIPVisionConfig(width=1024, layers=24, heads=16, embed_dim=768)
+        return CLIPVisionConfig(width=1024, layers=24, heads=16,
+                                embed_dim=768, act="quick_gelu")
 
     @staticmethod
-    def tiny() -> "CLIPVisionConfig":
+    def tiny(act: str = "gelu") -> "CLIPVisionConfig":
         return CLIPVisionConfig(image_size=32, patch_size=8, width=64,
-                                layers=2, heads=2, embed_dim=32)
+                                layers=2, heads=2, embed_dim=32, act=act)
 
 
 @dataclass(frozen=True)
@@ -53,32 +57,50 @@ class CLIPTextConfig:
     layers: int = 24
     heads: int = 16
     embed_dim: int = 1024
+    #: "quick_gelu" (OpenAI CLIP family) or "gelu" (OpenCLIP bigG family)
+    act: str = "quick_gelu"
 
     @staticmethod
     def vit_h_14() -> "CLIPTextConfig":
         return CLIPTextConfig()
 
     @staticmethod
-    def tiny() -> "CLIPTextConfig":
+    def sdxl_clip_l() -> "CLIPTextConfig":
+        """SDXL ``text_encoder`` (OpenAI CLIP ViT-L/14 text tower)."""
+        return CLIPTextConfig(width=768, layers=12, heads=12, embed_dim=768,
+                              act="quick_gelu")
+
+    @staticmethod
+    def sdxl_big_g() -> "CLIPTextConfig":
+        """SDXL ``text_encoder_2`` (OpenCLIP ViT-bigG/14 text tower)."""
+        return CLIPTextConfig(width=1280, layers=32, heads=20, embed_dim=1280,
+                              act="gelu")
+
+    @staticmethod
+    def tiny(act: str = "quick_gelu") -> "CLIPTextConfig":
         return CLIPTextConfig(vocab_size=64, context_length=12, width=32,
-                              layers=2, heads=2, embed_dim=32)
+                              layers=2, heads=2, embed_dim=32, act=act)
 
 
 class _ResidualAttnBlock(nn.Module):
     width: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    act: str = "quick_gelu"
 
     @nn.compact
     def __call__(self, x, mask=None):
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
         a = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dtype=self.dtype, name="attn",
         )(h, h, mask=mask)
         x = x + a
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
         h = nn.Dense(self.width * 4, dtype=self.dtype, name="mlp_fc")(h)
-        h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU (CLIP's activation)
+        if self.act == "quick_gelu":  # CLIP's original activation
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:  # exact gelu (OpenCLIP bigG)
+            h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
         return x + h
 
@@ -113,11 +135,11 @@ class CLIPVisionTower(nn.Module):
         pos = self.param("positional_embedding",
                          nn.initializers.normal(0.02), (n_tokens, cfg.width))
         x = x + pos.astype(self.dtype)[None]
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
         for i in range(cfg.layers):
             x = _ResidualAttnBlock(cfg.width, cfg.heads, dtype=self.dtype,
-                                   name=f"block_{i}")(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x)
+                                   act=cfg.act, name=f"block_{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x)
         if return_grid:
             return x
         proj = self.param("proj", nn.initializers.normal(0.02),
@@ -130,8 +152,17 @@ class CLIPTextTower(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, token_ids: jax.Array) -> jax.Array:
-        """(B, L) BPE ids (EOT = max id in each row) → (B, embed_dim)."""
+    def __call__(
+        self, token_ids: jax.Array, *, return_states: bool = False
+    ):
+        """(B, L) BPE ids (EOT = max id in each row) → (B, embed_dim).
+
+        With ``return_states`` the full conditioning bundle comes back as a
+        dict — SDXL consumes the PENULTIMATE hidden state (the input to the
+        last block, before the final LayerNorm — transformers'
+        ``hidden_states[-2]``; diffusers ``encode_prompt``) plus the projected
+        EOT feature as the pooled embedding.
+        """
         cfg = self.config
         B, L = token_ids.shape
         x = nn.Embed(cfg.vocab_size, cfg.width, name="token_embedding")(
@@ -141,16 +172,27 @@ class CLIPTextTower(nn.Module):
                          nn.initializers.normal(0.01), (cfg.context_length, cfg.width))
         x = x + pos[:L].astype(self.dtype)[None]
         causal = jnp.tril(jnp.ones((L, L), bool))[None, None]
+        penultimate = x
         for i in range(cfg.layers):
+            if i == cfg.layers - 1:
+                penultimate = x
             x = _ResidualAttnBlock(cfg.width, cfg.heads, dtype=self.dtype,
-                                   name=f"block_{i}")(x, mask=causal)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
-        # features at the EOT token (highest id per row, CLIP convention)
+                                   act=cfg.act, name=f"block_{i}")(x, mask=causal)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
+        # features at the EOT token (highest id per row, CLIP convention;
+        # also correct under eos- or 0-padding since EOT stays the row max)
         eot = jnp.argmax(token_ids, axis=-1)
         feats = x[jnp.arange(B), eot]
         proj = self.param("text_projection", nn.initializers.normal(0.01),
                           (cfg.width, cfg.embed_dim))
-        return (feats @ proj).astype(jnp.float32)
+        pooled = (feats @ proj).astype(jnp.float32)
+        if not return_states:
+            return pooled
+        return {
+            "pooled": pooled,
+            "penultimate": penultimate.astype(jnp.float32),
+            "final": x.astype(jnp.float32),
+        }
 
 
 def encode_images_jax(
