@@ -1,24 +1,30 @@
-"""GIT-style captioner conditioned on CLIP embeddings — the semantic-level
-pipeline.
+"""GIT captioner conditioned on CLIP embeddings — the semantic-level pipeline.
 
 Rebuilds the reference's vendored ``GitForCausalLMClipEmb`` + adapter flow
 (``Generation/modeling_git.py:1567,1802``; ``image_adapter.ipynb`` cell 3;
-``GIT_caption_batch.ipynb`` cell 8): the EEG-predicted ViT-H CLIP embedding is
-projected to a grid of GIT visual tokens by ``PixelProjector`` (trained with
-MSE against real GIT vision-tower outputs), the visual tokens are prepended
-to the text tokens, and a causal decoder generates the caption
-(``max_new_tokens=25`` greedy in the reference).
+``GIT_caption_batch.ipynb`` — ``microsoft/git-large-coco``): the
+EEG-predicted ViT-H CLIP embedding is projected to the GIT visual-token grid
+by ``PixelProjector`` (trained with MSE against the real GIT vision tower),
+the projected visual tokens are prepended to the text tokens, and a causal
+decoder generates the caption (greedy, ``max_new_tokens`` budget).
 
-GIT (Wang et al. 2022) is a single self-attention decoder over
-[image tokens ‖ text tokens] with causal masking only on the text — rebuilt
-here as a config-driven flax module (``GITConfig.git_base()`` matches the real
-checkpoint's shapes for weight conversion; ``tiny()`` for tests). Greedy
-decode is one ``lax.scan`` over a fixed-length buffer.
+The decoder mirrors the real GIT checkpoint exactly — BERT-style POST-LN
+blocks (eps 1e-12, exact gelu), word+position embeddings with their own
+LayerNorm, a Linear+LN visual projection (eps 1e-5), an untied lm head —
+so converted ``git-large-coco`` weights reproduce the torch model
+token-for-token (pinned by the ``transformers.GitForCausalLM`` oracle test).
+Greedy decode is one ``lax.scan`` over a fixed-length buffer.
+
+Attention layout (GIT, Wang et al. 2022): image queries attend only to image
+tokens; text query i attends to all image tokens + text ≤ i
+(``GitModel.create_attention_mask``).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -32,30 +38,45 @@ class GITConfig:
     n_layers: int = 6
     n_heads: int = 12
     d_ff: int = 3072
+    #: size of the learned position table (GIT checkpoints: 1024)
+    max_position_embeddings: int = 1024
+    #: decode buffer length (caption budget)
     max_text_len: int = 64
     num_visual_tokens: int = 257
-    visual_dim: int = 1024  # CLIP ViT-L/14 grid features GIT consumes
+    visual_dim: int = 1024  # CLIP ViT-L/14 grid features GIT-large consumes
     bos_token_id: int = 101  # BERT [CLS]
     eos_token_id: int = 102  # BERT [SEP]
+    pad_token_id: int = 0
     dropout: float = 0.1
 
     @staticmethod
-    def git_base() -> "GITConfig":
+    def git_large_coco() -> "GITConfig":
+        """microsoft/git-large-coco (the reference's checkpoint)."""
         return GITConfig()
+
+    # kept as an alias for earlier call sites
+    git_base = git_large_coco
 
     @staticmethod
     def tiny() -> "GITConfig":
         return GITConfig(
             vocab_size=64, d_model=32, n_layers=2, n_heads=2, d_ff=64,
-            max_text_len=8, num_visual_tokens=3, visual_dim=16,
-            bos_token_id=1, eos_token_id=2,
+            max_position_embeddings=16, max_text_len=8, num_visual_tokens=3,
+            visual_dim=16, bos_token_id=1, eos_token_id=2,
         )
 
 
 class PixelProjector(nn.Module):
-    """ViT-H CLIP embedding (B, 1024) → GIT visual tokens (B, 257, 1024)
-    (ref ``image_adapter.ipynb`` cell 3, trained with MSE against the real
-    GIT vision tower on the same images)."""
+    """ViT-H CLIP embedding (B, 1024) → GIT visual tokens (B, 257, 1024).
+
+    Mirrors the reference adapter exactly (``image_adapter.ipynb`` cell 3,
+    trained with MSE against the real GIT ViT-L/14 grid): each embedding
+    channel is expanded to 257 tokens by a shared Linear(1→257) + LayerNorm
+    over the token axis, then a per-token Linear(D→out) + LayerNorm. The
+    factorized form is ~1M params (vs 263M for a naive dense expansion) and
+    the trained ``PixelProjector_best.bin`` converts onto it via
+    :func:`convert_pixel_projector`.
+    """
 
     num_tokens: int = 257
     out_dim: int = 1024
@@ -63,30 +84,39 @@ class PixelProjector(nn.Module):
 
     @nn.compact
     def __call__(self, clip_embeds: jax.Array) -> jax.Array:
-        h = nn.Dense(self.num_tokens * self.out_dim, dtype=self.dtype,
-                     name="expand")(clip_embeds.astype(self.dtype))
-        h = h.reshape(h.shape[0], self.num_tokens, self.out_dim)
-        return nn.LayerNorm(dtype=jnp.float32, name="ln")(h)
+        x = clip_embeds.astype(self.dtype)[:, :, None]  # (B, D, 1)
+        x = nn.Dense(self.num_tokens, dtype=self.dtype, name="expand")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_tokens")(x)
+        x = x.transpose(0, 2, 1).astype(self.dtype)  # (B, tokens, D)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="proj")(x)
+        return nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
 
 
-class _DecoderLayer(nn.Module):
+class _GITLayer(nn.Module):
+    """BERT-style post-LN block (``GitLayer``: SelfAttention + SelfOutput,
+    Intermediate + Output; LN eps 1e-12, exact gelu)."""
+
     cfg: GITConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool):
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
         a = nn.MultiHeadDotProductAttention(
             num_heads=self.cfg.n_heads, dtype=self.dtype,
             dropout_rate=self.cfg.dropout, deterministic=deterministic,
             name="attn",
-        )(h, h, mask=mask)
-        x = x + a
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
-        f = nn.Dense(self.cfg.d_ff, dtype=self.dtype, name="ff1")(h)
+        )(x, x, mask=mask)
+        a = nn.Dropout(self.cfg.dropout, deterministic=deterministic)(a)
+        x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ln_attn")(
+            x + a
+        ).astype(self.dtype)
+        f = nn.Dense(self.cfg.d_ff, dtype=self.dtype, name="ff1")(x)
         f = nn.gelu(f, approximate=False)
         f = nn.Dense(self.cfg.d_model, dtype=self.dtype, name="ff2")(f)
-        return x + f
+        f = nn.Dropout(self.cfg.dropout, deterministic=deterministic)(f)
+        return nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ln_ff")(
+            x + f
+        ).astype(self.dtype)
 
 
 class GITCaptioner(nn.Module):
@@ -106,20 +136,25 @@ class GITCaptioner(nn.Module):
         B, V = visual_tokens.shape[:2]
         L = token_ids.shape[1]
 
+        # GitProjection: Linear + LayerNorm (vision eps 1e-5); no positions
         vis = nn.Dense(cfg.d_model, dtype=self.dtype, name="visual_proj")(
             visual_tokens.astype(self.dtype)
         )
+        vis = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                           name="visual_ln")(vis).astype(self.dtype)
+        # GitEmbeddings: word + absolute position (text starts at 0), LN 1e-12
         tok = nn.Embed(cfg.vocab_size, cfg.d_model, name="token_embed")(
             token_ids
         ).astype(self.dtype)
-        pos = nn.Embed(cfg.max_text_len, cfg.d_model, name="pos_embed")(
-            jnp.arange(L)
-        ).astype(self.dtype)
-        x = jnp.concatenate([vis, tok + pos[None]], axis=1)  # (B, V+L, D)
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.d_model,
+                       name="pos_embed")(jnp.arange(L)).astype(self.dtype)
+        txt = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
+                           name="embed_ln")(tok + pos[None]).astype(self.dtype)
+        txt = nn.Dropout(cfg.dropout, deterministic=deterministic)(txt)
+        x = jnp.concatenate([vis, txt], axis=1)  # (B, V+L, D)
 
-        # GIT mask: image queries attend bidirectionally over image tokens;
-        # text query i sees all image tokens + text ≤ i (plain causal, since
-        # every image position precedes every text position)
+        # GIT mask: image queries attend only over image tokens; text query i
+        # sees all image tokens + text ≤ i (ref create_attention_mask)
         n = V + L
         is_text_q = jnp.arange(n) >= V
         qi = jnp.arange(n)[:, None]
@@ -130,10 +165,10 @@ class GITCaptioner(nn.Module):
         mask = jnp.broadcast_to(mask, (B, 1, n, n))
 
         for i in range(cfg.n_layers):
-            x = _DecoderLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(
+            x = _GITLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(
                 x, mask, deterministic=deterministic
             )
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
+        # untied lm head, no final LN (GitForCausalLM.output)
         logits = nn.Dense(cfg.vocab_size, dtype=jnp.float32, name="lm_head")(
             x[:, V:]
         )
@@ -146,13 +181,14 @@ class GITCaptioner(nn.Module):
         *,
         max_new_tokens: int = 25,
     ) -> jax.Array:
-        """Greedy decode (ref ``GIT_caption_batch.ipynb`` cell 8 uses
-        ``max_new_tokens=25``). Fixed-size buffer + lax.scan; recomputes the
-        full forward per step (fine at these lengths; caption length ≤ 64)."""
+        """Greedy decode (ref ``GIT_caption_batch.ipynb`` uses greedy with a
+        fixed ``max_new_tokens`` budget). Fixed-size buffer + lax.scan;
+        recomputes the full forward per step (fine at caption lengths).
+        Finished rows are padded with ``pad_token_id`` like HF generate."""
         cfg = self.config
         B = visual_tokens.shape[0]
         buf_len = min(cfg.max_text_len, max_new_tokens + 1)
-        tokens = jnp.full((B, buf_len), cfg.eos_token_id, jnp.int32)
+        tokens = jnp.full((B, buf_len), cfg.pad_token_id, jnp.int32)
         tokens = tokens.at[:, 0].set(cfg.bos_token_id)
         done = jnp.zeros((B,), bool)
 
@@ -162,7 +198,7 @@ class GITCaptioner(nn.Module):
                                 deterministic=True)
             step_logits = jnp.take(logits, i - 1, axis=1)  # (B, vocab)
             next_tok = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
-            next_tok = jnp.where(done, cfg.eos_token_id, next_tok)
+            next_tok = jnp.where(done, cfg.pad_token_id, next_tok)
             tokens = tokens.at[:, i].set(next_tok)
             done = done | (next_tok == cfg.eos_token_id)
             return (tokens, done), None
@@ -172,3 +208,115 @@ class GITCaptioner(nn.Module):
             body, (tokens, done), jnp.arange(1, n_steps + 1)
         )
         return tokens
+
+
+def caption_embeddings(
+    captioner: GITCaptioner,
+    variables,
+    projector_params: dict,
+    clip_embeds: jax.Array,
+    tokenizer,
+    *,
+    max_new_tokens: int = 25,
+) -> list[str]:
+    """EEG-predicted CLIP embeddings → caption strings — the reference's
+    ``GIT_caption_batch.ipynb`` cell 8 flow (PixelProjector → greedy GIT →
+    WordPiece decode)."""
+    cfg = captioner.config
+    proj = PixelProjector(num_tokens=cfg.num_visual_tokens,
+                          out_dim=cfg.visual_dim, dtype=captioner.dtype)
+    grids = proj.apply({"params": projector_params},
+                       jnp.asarray(clip_embeds))
+    tokens = np.asarray(
+        captioner.generate(variables, grids, max_new_tokens=max_new_tokens)
+    )
+    return [tokenizer.decode(row) for row in tokens]
+
+
+# ——————————————————— checkpoint conversion (GitForCausalLM) ———————————————————
+
+
+def _t_ln(sd, p):
+    return {"scale": np.asarray(sd[f"{p}.weight"], np.float32),
+            "bias": np.asarray(sd[f"{p}.bias"], np.float32)}
+
+
+def _t_linear(sd, p):
+    return {"kernel": np.asarray(sd[f"{p}.weight"], np.float32).T,
+            "bias": np.asarray(sd[f"{p}.bias"], np.float32)}
+
+
+def convert_pixel_projector(sd: dict) -> dict:
+    """Reference ``PixelProjector_best.bin`` (torch Sequential indices:
+    1=Linear(1,257), 2=LayerNorm(257), 4=Linear(1024,1024), 5=LayerNorm)
+    → flax :class:`PixelProjector` params."""
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+    return {
+        "expand": {"kernel": sd["1.weight"].T, "bias": sd["1.bias"]},
+        "ln_tokens": {"scale": sd["2.weight"], "bias": sd["2.bias"]},
+        "proj": {"kernel": sd["4.weight"].T, "bias": sd["4.bias"]},
+        "ln": {"scale": sd["5.weight"], "bias": sd["5.bias"]},
+    }
+
+
+def convert_git_causal_lm(sd: dict, cfg: GITConfig = GITConfig()) -> dict:
+    """``GitForCausalLM`` / the reference's ``GitForCausalLMClipEmb``
+    state_dict → flax :class:`GITCaptioner` params.
+
+    The torch naming follows ``Generation/modeling_git.py:1567-1802``
+    (identical to transformers'): ``git.embeddings.*``,
+    ``git.visual_projection.visual_projection.{0,1}``,
+    ``git.encoder.layer.{i}.attention.self.{query,key,value}`` /
+    ``attention.output``, ``intermediate`` / ``output``, and the untied
+    ``output`` lm head. The vision tower (``git.image_encoder.*``) is NOT
+    consumed here — ``GitForCausalLMClipEmb`` takes precomputed CLIP grids;
+    convert it separately via
+    :func:`eeg_image_decode_tpu.utils.convert_clip.convert_hf_clip_vision`.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    heads, d = cfg.n_heads, cfg.d_model
+    head_dim = d // heads
+
+    def fold_qkv(p):
+        w = np.asarray(sd[f"{p}.weight"], np.float32)
+        b = np.asarray(sd[f"{p}.bias"], np.float32)
+        return {
+            "kernel": np.ascontiguousarray(w.T.reshape(d, heads, head_dim)),
+            "bias": b.reshape(heads, head_dim),
+        }
+
+    params = {
+        "token_embed": {"embedding": np.asarray(
+            sd["git.embeddings.word_embeddings.weight"], np.float32)},
+        "pos_embed": {"embedding": np.asarray(
+            sd["git.embeddings.position_embeddings.weight"], np.float32)},
+        "embed_ln": _t_ln(sd, "git.embeddings.LayerNorm"),
+        "visual_proj": _t_linear(
+            sd, "git.visual_projection.visual_projection.0"),
+        "visual_ln": _t_ln(sd, "git.visual_projection.visual_projection.1"),
+        "lm_head": _t_linear(sd, "output"),
+    }
+    for i in range(cfg.n_layers):
+        p = f"git.encoder.layer.{i}"
+        w_out = np.asarray(sd[f"{p}.attention.output.dense.weight"],
+                           np.float32)
+        params[f"layer_{i}"] = {
+            "attn": {
+                "query": fold_qkv(f"{p}.attention.self.query"),
+                "key": fold_qkv(f"{p}.attention.self.key"),
+                "value": fold_qkv(f"{p}.attention.self.value"),
+                "out": {
+                    "kernel": np.ascontiguousarray(
+                        w_out.T.reshape(heads, head_dim, d)
+                    ),
+                    "bias": np.asarray(
+                        sd[f"{p}.attention.output.dense.bias"], np.float32
+                    ),
+                },
+            },
+            "ln_attn": _t_ln(sd, f"{p}.attention.output.LayerNorm"),
+            "ff1": _t_linear(sd, f"{p}.intermediate.dense"),
+            "ff2": _t_linear(sd, f"{p}.output.dense"),
+            "ln_ff": _t_ln(sd, f"{p}.output.LayerNorm"),
+        }
+    return params

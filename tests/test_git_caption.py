@@ -63,29 +63,28 @@ def test_greedy_generate():
 
 def test_pixel_projector_learns_mapping(rng):
     """Train the adapter with MSE exactly like image_adapter.ipynb cell 3:
-    CLIP ViT-H embedding → GIT visual token grid."""
-    proj = PixelProjector(num_tokens=5, out_dim=8)
-    x = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32))
-    w_true = jnp.asarray(rng.normal(size=(16, 5 * 8)).astype(np.float32))
-    target = (x @ w_true).reshape(32, 5, 8)
+    CLIP ViT-H embedding → GIT visual token grid. The target is produced by
+    a reference-shaped adapter (token expansion ⊗ channel mix), which the
+    factorized module must be able to fit."""
+    from eeg_image_decode_tpu.train.adapters import (
+        AdapterTrainConfig,
+        evaluate_pixel_projector,
+        train_pixel_projector,
+    )
+
+    x = rng.normal(size=(64, 16)).astype(np.float32)
+    w_tok = rng.normal(size=(1, 5)).astype(np.float32)
+    w_mix = rng.normal(size=(16, 8)).astype(np.float32)
+    target = np.einsum("bd,ut,do->bto", x, w_tok, w_mix)
     target = (target - target.mean()) / target.std()
 
-    params = proj.init(jax.random.key(0), x)
-    tx = optax.adam(1e-2)
-    opt = tx.init(params)
-
-    @jax.jit
-    def step(params, opt):
-        def loss_fn(p):
-            return jnp.mean((proj.apply(p, x) - target) ** 2)
-
-        loss, g = jax.value_and_grad(loss_fn)(params)
-        u, opt = tx.update(g, opt)
-        return optax.apply_updates(params, u), opt, loss
-
-    losses = []
-    for _ in range(150):
-        params, opt, loss = step(params, opt)
-        losses.append(float(loss))
-    assert proj.apply(params, x).shape == (32, 5, 8)
+    params, losses = train_pixel_projector(
+        x, target,
+        AdapterTrainConfig(epochs=120, batch_size=32, lr=1e-2, seed=0),
+        dtype=jnp.float32,
+    )
     assert losses[-1] < 0.3 * losses[0], (losses[0], losses[-1])
+    held = evaluate_pixel_projector(params, x, target, dtype=jnp.float32)
+    assert held < 0.3 * losses[0]
+    proj = PixelProjector(num_tokens=5, out_dim=8)
+    assert proj.apply({"params": params}, jnp.asarray(x)).shape == (64, 5, 8)
