@@ -53,6 +53,93 @@ def load_features(path: str) -> dict[str, np.ndarray]:
         return {k: z[k] for k in z.files}
 
 
+class FlaxCLIPFeatureEncoder:
+    """TPU-side CLIP feature extraction — no torch/open_clip at runtime.
+
+    Bundles the flax vision+text towers (``models/clip_vit.py``), converted
+    weights, and the pure-Python BPE tokenizer (``data/tokenizers.py``).
+    Preprocessing mirrors OpenCLIP's eval transform: bicubic resize of the
+    shorter side to ``image_size`` + center crop (host-side via PIL), then
+    the CLIP mean/std normalization on device.
+    """
+
+    def __init__(self, vision_tower, vision_params, text_tower=None,
+                 text_params=None, tokenizer=None):
+        self.vision_tower = vision_tower
+        self.vision_params = vision_params
+        self.text_tower = text_tower
+        self.text_params = text_params
+        self.tokenizer = tokenizer
+
+    def _load_images(self, paths: list[str]) -> np.ndarray:
+        from PIL import Image
+
+        size = self.vision_tower.config.image_size
+        out = np.empty((len(paths), size, size, 3), np.float32)
+        for i, p in enumerate(paths):
+            im = Image.open(p).convert("RGB")
+            w, h = im.size
+            scale = size / min(w, h)
+            im = im.resize((round(w * scale), round(h * scale)),
+                           Image.BICUBIC)
+            left = (im.size[0] - size) // 2
+            top = (im.size[1] - size) // 2
+            im = im.crop((left, top, left + size, top + size))
+            out[i] = np.asarray(im, np.float32) / 255.0
+        return out
+
+    def encode_images(self, image_paths: list[str], *,
+                      normalize: bool = True, batch_size: int = 20
+                      ) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        from eeg_image_decode_tpu.models.clip_vit import clip_preprocess
+
+        @jax.jit
+        def fwd(imgs):
+            feats = self.vision_tower.apply(
+                {"params": self.vision_params}, clip_preprocess(imgs)
+            )
+            if normalize:
+                feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+            return feats
+
+        chunks = []
+        for i in range(0, len(image_paths), batch_size):
+            batch = image_paths[i : i + batch_size]
+            imgs = self._load_images(batch)
+            if len(batch) < batch_size:  # pad: one trace per batch size
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[-1:], batch_size - len(batch), 0)]
+                )
+            chunks.append(np.asarray(fwd(jnp.asarray(imgs)))[: len(batch)])
+        return np.concatenate(chunks, 0).astype(np.float32)
+
+    def encode_texts(self, prompts: list[str]) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        assert self.text_tower is not None and self.tokenizer is not None, (
+            "text encoding needs text_tower + tokenizer"
+        )
+        ids = jnp.asarray(self.tokenizer(prompts))
+
+        @jax.jit
+        def fwd(ids):
+            feats = self.text_tower.apply({"params": self.text_params}, ids)
+            return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+        return np.asarray(fwd(ids)).astype(np.float32)
+
+    def __call__(self, image_paths, text_prompts, *, normalize_img=True,
+                 batch_size=20):
+        img = self.encode_images(image_paths, normalize=normalize_img,
+                                 batch_size=batch_size)
+        txt = self.encode_texts(text_prompts)
+        return img, txt
+
+
 def load_or_compute_clip_features(
     cache_dir: str,
     split: str,
@@ -63,22 +150,44 @@ def load_or_compute_clip_features(
     pretrained: str = "laion2b_s32b_b79k",
     normalize_img: bool = True,
     batch_size: int = 20,
+    flax_encoder: "FlaxCLIPFeatureEncoder | None" = None,
 ) -> dict[str, np.ndarray]:
     """Cache-or-encode. Image features are L2-normalized for retrieval; pass
     ``normalize_img=False`` for the reconstruction pipeline's raw embeddings
-    (ref ``Generation/eegdatasets_leaveone.py:318``)."""
+    (ref ``Generation/eegdatasets_leaveone.py:318``).
+
+    Encoding runs through ``flax_encoder`` (TPU, converted OpenCLIP weights +
+    the native tokenizer) when given — or whenever ``open_clip`` is absent
+    it is REQUIRED; the torch path is only a convenience for environments
+    that already have the hub packages."""
     path = cache_path(cache_dir, f"{model_name}-{'n' if normalize_img else 'r'}",
                       split, image_paths)
     if os.path.exists(path):
         return load_features(path)
-    img, txt = compute_clip_features(
-        image_paths,
-        text_prompts,
-        model_name=model_name,
-        pretrained=pretrained,
-        normalize_img=normalize_img,
-        batch_size=batch_size,
-    )
+    if flax_encoder is None:
+        try:
+            import open_clip  # noqa: F401
+        except ImportError:
+            raise ImportError(
+                "open_clip is not installed; pass flax_encoder="
+                "FlaxCLIPFeatureEncoder(vision_tower, converted_params, "
+                "text_tower, text_params, CLIPBPETokenizer.from_files(...)) "
+                "to encode natively on TPU"
+            ) from None
+    if flax_encoder is not None:
+        img, txt = flax_encoder(
+            image_paths, text_prompts, normalize_img=normalize_img,
+            batch_size=batch_size,
+        )
+    else:
+        img, txt = compute_clip_features(
+            image_paths,
+            text_prompts,
+            model_name=model_name,
+            pretrained=pretrained,
+            normalize_img=normalize_img,
+            batch_size=batch_size,
+        )
     save_features(path, img_features=img, text_features=txt)
     return {"img_features": img, "text_features": txt}
 
