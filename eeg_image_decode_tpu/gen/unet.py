@@ -140,15 +140,15 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, ip_tokens):
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         x = x + CrossAttention(self.dim, None, self.head_dim,
                                dtype=self.dtype, name="attn1")(h)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         x = x + CrossAttention(
             self.dim, self.context_dim, self.head_dim,
             ip_scale=self.ip_scale, dtype=self.dtype, name="attn2",
         )(h, context, ip_tokens)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
         return x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
 
 
@@ -166,8 +166,9 @@ class SpatialTransformer(nn.Module):
         # x: (B, H, W, C)
         B, H, W, C = x.shape
         res = x
-        h = nn.GroupNorm(num_groups=self.norm_groups, dtype=jnp.float32,
-                         name="norm")(x)
+        # diffusers Transformer2DModel GroupNorm uses eps 1e-6
+        h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6,
+                         dtype=jnp.float32, name="norm")(x)
         h = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(h)
         h = h.reshape(B, H * W, self.channels)
         for i in range(self.n_layers):
@@ -187,16 +188,16 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, t_emb):
-        h = nn.GroupNorm(num_groups=self.norm_groups, dtype=jnp.float32,
-                         name="norm1")(x)
+        h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
+                         dtype=jnp.float32, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         temb = nn.Dense(self.out_channels, dtype=self.dtype,
                         name="time_emb_proj")(nn.silu(t_emb))
         h = h + temb[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.norm_groups, dtype=jnp.float32,
-                         name="norm2")(h)
+        h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
+                         dtype=jnp.float32, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -268,7 +269,7 @@ class SDXLUNet(nn.Module):
                 name="ip_image_proj",
             )(image_embeds.astype(self.dtype))
             ip = ip.reshape(B, cfg.ip_num_tokens, cfg.cross_attention_dim)
-            ip_tokens = nn.LayerNorm(dtype=jnp.float32, name="ip_norm")(ip).astype(
+            ip_tokens = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ip_norm")(ip).astype(
                 self.dtype
             )
 
@@ -337,8 +338,8 @@ class SDXLUNet(nn.Module):
                 h = nn.Conv(C_, (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_{idx}_upsample")(h)
 
-        h = nn.GroupNorm(num_groups=cfg.norm_groups, dtype=jnp.float32,
-                         name="norm_out")(h)
+        h = nn.GroupNorm(num_groups=cfg.norm_groups, epsilon=1e-5,
+                         dtype=jnp.float32, name="norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(h).astype(jnp.float32)

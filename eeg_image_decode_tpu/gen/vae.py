@@ -105,7 +105,9 @@ class VAEEncoder(nn.Module):
                 h = _ResBlock(ch, cfg.norm_groups, dtype=self.dtype,
                               name=f"down_{i}_res_{j}")(h)
             if i < len(cfg.block_out_channels) - 1:
-                h = nn.Conv(ch, (3, 3), strides=2, padding=1, dtype=self.dtype,
+                # diffusers Downsample2D: F.pad (0,1,0,1) + pad-0 stride-2 conv
+                h = nn.Conv(ch, (3, 3), strides=2, padding=((0, 1), (0, 1)),
+                            dtype=self.dtype,
                             name=f"down_{i}_downsample")(h)
         ch = cfg.block_out_channels[-1]
         h = _ResBlock(ch, cfg.norm_groups, dtype=self.dtype, name="mid_res_0")(h)
