@@ -45,6 +45,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--eval-ks", default=None,
+                   help="comma-separated k-way eval sizes (default 2,4,10,"
+                        "50,100,200 — shrink for small test galleries)")
 
 
 def _resolve_data_path(args) -> str:
@@ -136,6 +139,9 @@ def cmd_train_retrieval(args):
     from eeg_image_decode_tpu.train import ContrastiveTrainer
 
     subjects = args.subjects.split(",")
+    kw = {}
+    if getattr(args, "eval_ks", None):
+        kw["eval_ks"] = tuple(int(k) for k in args.eval_ks.split(","))
     cfg = ContrastiveTrainConfig(
         encoder=args.encoder,
         batch_size=args.batch_size or (16 if args.joint else 1024),
@@ -143,6 +149,7 @@ def cmd_train_retrieval(args):
         lr=args.lr or 3e-4,
         recon_loss=args.recon,
         seed=args.seed,
+        **kw,
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.encoder == "atms":
@@ -166,13 +173,19 @@ def cmd_train_retrieval(args):
     else:
         train, test = _build_retrieval_splits(args, subjects)
     mesh = create_mesh() if args.mesh else None
-    run_id = time.strftime("%Y-%m-%d_%H-%M-%S")
-    sub_tag = args.test_subject or subjects[0]
-    out = run_directory(args.output_dir, args.encoder, sub_tag, run_id)
+    if args.resume_dir:
+        out = args.resume_dir
+    else:
+        run_id = time.strftime("%Y-%m-%d_%H-%M-%S")
+        sub_tag = args.test_subject or subjects[0]
+        out = run_directory(args.output_dir, args.encoder, sub_tag, run_id)
     ckpt = Checkpointer(os.path.join(out, "ckpt"))
     trainer = ContrastiveTrainer(
         model, cfg, train, test, mesh=mesh, output_dir=out, checkpointer=ckpt
     )
+    if args.resume_dir:
+        start = trainer.resume()
+        print(f"resumed {out} at epoch {start}")
     trainer.fit()
     print(json.dumps(trainer.history[-1]))
 
@@ -423,6 +436,9 @@ def main(argv=None):
                    help="leave-one-out: exclude --test-subject from training")
     p.add_argument("--test-subject", default=None)
     p.add_argument("--mesh", action="store_true", help="use all devices (dp)")
+    p.add_argument("--resume-dir", default=None,
+                   help="existing run directory: restore the latest orbax "
+                        "checkpoint (full TrainState) and continue")
     p.set_defaults(recon=False, fn=cmd_train_retrieval)
 
     p = sub.add_parser("train-recon", help="reconstruction-objective training")
@@ -430,6 +446,7 @@ def main(argv=None):
     p.add_argument("--encoder", default="atms")
     p.add_argument("--subjects", default="sub-08")
     p.add_argument("--mesh", action="store_true")
+    p.add_argument("--resume-dir", default=None)
     p.set_defaults(recon=True, joint=False, cross_subject=False,
                    test_subject=None, fn=cmd_train_retrieval)
 

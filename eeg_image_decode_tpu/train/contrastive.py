@@ -250,6 +250,40 @@ class ContrastiveTrainer:
         self.epoch_fn = make_epoch_fn(model, self.tx, cfg, mesh=mesh)
         self.eval_fn = make_eval_features_fn(model)
         self.history: list[dict] = []
+        self.start_epoch = 0
+
+    def resume(self, step: int | None = None) -> int:
+        """Restore the full TrainState (params + BN stats + optimizer + step)
+        from the checkpointer and reload the completed history rows, so
+        ``fit()`` continues with the next epoch. The reference cannot do this
+        (SURVEY.md §5: bare state_dict, no optimizer state, no resume).
+
+        Per-epoch permutations and RNG keys are derived from (seed, epoch),
+        so a resumed run reproduces the uninterrupted run's remaining epochs
+        exactly. Returns the epoch training will continue from."""
+        assert self.checkpointer is not None, "resume needs a checkpointer"
+        step = self.checkpointer.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(
+                f"no checkpoints under {self.checkpointer.directory}"
+            )
+        self.state = self.checkpointer.restore(step, self.state)
+        self.start_epoch = int(step)  # save key = completed epoch count
+        if self.output_dir:
+            path = os.path.join(self.output_dir, "results.csv")
+            if os.path.exists(path):
+                import csv
+
+                with open(path, newline="") as f:
+                    rows = list(csv.DictReader(f))
+                self.history = [
+                    {k: (int(v) if k == "epoch" else float(v))
+                     for k, v in row.items() if v != ""}
+                    for row in rows
+                    if row.get("epoch", "") != ""
+                    and int(row["epoch"]) < self.start_epoch
+                ]
+        return self.start_epoch
 
     def _epoch_perm(self, epoch: int) -> np.ndarray:
         n = self.train_host.n
@@ -288,7 +322,7 @@ class ContrastiveTrainer:
 
     def fit(self, epochs: int | None = None, log_fn=print) -> list[dict]:
         epochs = epochs or self.cfg.epochs
-        for epoch in range(epochs):
+        for epoch in range(self.start_epoch, epochs):
             train_metrics = self.train_epoch(epoch)
             eval_metrics = self.evaluate(epoch)
             row = {"epoch": epoch, **train_metrics, **eval_metrics}
@@ -306,8 +340,12 @@ class ContrastiveTrainer:
                 and (epoch + 1) % self.cfg.ckpt_every_epochs == 0
             ):
                 self.checkpointer.save(epoch + 1, self.state)
+            if self.output_dir:
+                self._write_csv()  # kept current so a killed run can resume
+        if self.checkpointer is not None and epochs > self.start_epoch:
+            if self.checkpointer.latest_step() != epochs:
+                self.checkpointer.save(epochs, self.state)  # final state
         if self.output_dir:
-            self._write_csv()
             try:
                 from eeg_image_decode_tpu.utils.plotting import (
                     plot_training_summary,
