@@ -1,0 +1,153 @@
+"""Multi-config benchmark: one BENCH-style JSON line per configuration.
+
+Complements the driver's ``bench.py`` (flagship ATM-S bs1024) with the other
+reference configurations VERDICT round 1 asked for:
+
+- ``joint``: joint-subjects training (``ATMS_retrieval_joint_train.py``
+  semantics — subject tokens + per-subject value embeddings active),
+  batch 16, two subjects' full splits resident in HBM
+- ``bs64``: in-subject ATM-S at batch 64 (the graft-entry shape)
+- ``eval``: encoder feature-extraction throughput (the export path feeding
+  the diffusion prior)
+
+Each line: {"metric", "value", "unit", "config"} — measured on whatever
+jax.devices()[0] is (the real v5e chip under axon).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def _data(n_classes, ipc, reps, n_subjects=1, d=1024, c=63, t=250):
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.train.contrastive import DeviceData
+
+    n = n_classes * ipc * reps * n_subjects
+    ks = jax.random.split(jax.random.key(0), 3)
+    img = jax.random.normal(ks[1], (n_classes * ipc, d), jnp.float32)
+    img = img / jnp.linalg.norm(img, axis=1, keepdims=True)
+    local = jnp.arange(n, dtype=jnp.int32) % (n_classes * ipc * reps)
+    return DeviceData(
+        eeg=jax.random.normal(ks[0], (n, c, t), jnp.float32),
+        labels=local // (ipc * reps),
+        subject_ids=(jnp.arange(n, dtype=jnp.int32)
+                     // (n_classes * ipc * reps)) + 1,
+        img_feat=img,
+        text_feat=jax.random.normal(ks[2], (n_classes, d), jnp.float32),
+        img_idx=local // reps,
+        text_idx=local // (ipc * reps),
+        class_img_feat=img[::ipc],
+    )
+
+
+def _bench_train(config_name, *, batch, joint, n_subjects, n_classes=1654,
+                 epochs=2):
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.core.config import (
+        ATMSConfig,
+        ContrastiveTrainConfig,
+    )
+    from eeg_image_decode_tpu.models import build_encoder
+    from eeg_image_decode_tpu.train.contrastive import (
+        create_train_state,
+        make_epoch_fn,
+    )
+
+    cfg = ContrastiveTrainConfig(encoder="atms", batch_size=batch)
+    model = build_encoder("atms", config=ATMSConfig(joint_train=joint),
+                          dtype=jnp.bfloat16)
+    data = _data(n_classes, 10, 4, n_subjects=n_subjects)
+    n = int(data.eeg.shape[0])
+    state, tx = create_train_state(model, cfg, data.eeg[:2],
+                                   data.subject_ids[:2])
+    epoch_fn = make_epoch_fn(model, tx, cfg)
+    n_steps = n // batch
+
+    def run(state, epoch):
+        perm = jax.random.permutation(
+            jax.random.fold_in(jax.random.key(1), epoch), n
+        )[: n_steps * batch].reshape(n_steps, batch).astype(jnp.int32)
+        t0 = time.perf_counter()
+        state, metrics = epoch_fn(state, data, perm, jax.random.key(epoch))
+        float(metrics["loss"])
+        return state, time.perf_counter() - t0
+
+    state, _ = run(state, 0)  # compile
+    times = []
+    for e in range(1, epochs + 1):
+        state, dt = run(state, e)
+        times.append(dt)
+    print(json.dumps({
+        "metric": f"atms_train_throughput_{config_name}",
+        "value": round(n_steps * batch / min(times), 1),
+        "unit": "samples/s",
+        "config": {"batch": batch, "joint": joint,
+                   "n_samples": n, "subjects": n_subjects},
+    }))
+
+
+def _bench_eval():
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.core.config import ATMSConfig
+    from eeg_image_decode_tpu.models import build_encoder
+    from eeg_image_decode_tpu.train.contrastive import (
+        create_train_state,
+        make_eval_features_fn,
+    )
+    from eeg_image_decode_tpu.core.config import ContrastiveTrainConfig
+
+    model = build_encoder("atms", config=ATMSConfig(), dtype=jnp.bfloat16)
+    eeg = jax.random.normal(jax.random.key(0), (66160, 63, 250), jnp.float32)
+    sids = jnp.ones((66160,), jnp.int32)
+    state, _ = create_train_state(
+        model, ContrastiveTrainConfig(), eeg[:2], sids[:2]
+    )
+    fn = make_eval_features_fn(model)
+
+    def run():
+        t0 = time.perf_counter()
+        chunks = []
+        for i in range(0, 66160 - 2048 + 1, 2048):
+            f, _ = fn(state.params, state.batch_stats,
+                      eeg[i : i + 2048], sids[i : i + 2048])
+            chunks.append(f)
+        jax.block_until_ready(chunks[-1])
+        n = len(chunks) * 2048
+        return n / (time.perf_counter() - t0)
+
+    run()  # compile
+    v = max(run() for _ in range(2))
+    print(json.dumps({
+        "metric": "atms_eval_feature_throughput",
+        "value": round(v, 1),
+        "unit": "samples/s",
+        "config": {"batch": 2048},
+    }))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    _bench_train("bs1024_insubject", batch=1024, joint=False, n_subjects=1)
+    _bench_train("bs64_insubject", batch=64, joint=False, n_subjects=1)
+    _bench_train("bs16_joint_2subj", batch=16, joint=True, n_subjects=2)
+    _bench_eval()
+
+
+if __name__ == "__main__":
+    main()
