@@ -370,6 +370,195 @@ def cmd_generate(args):
     print(f"wrote {n} classes × {args.seeds} seeds to {args.output_dir}")
 
 
+def cmd_caption(args):
+    """Batch semantic-level captioning — the reference's
+    ``GIT_caption_batch.ipynb`` cell 8 loop: EEG features → prior sampling →
+    PixelProjector → GIT greedy decode → ``semantic_level_caption.txt``."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.models.git_caption import (
+        GITCaptioner,
+        GITConfig,
+        PixelProjector,
+    )
+
+    if args.embeddings:
+        d = np.load(args.embeddings)
+        if hasattr(d, "files"):  # .npz: prefer a named key, else first array
+            key0 = "clip_embeds" if "clip_embeds" in d.files else d.files[0]
+            embeds = d[key0]
+        else:
+            embeds = d
+    else:
+        if not (args.eeg_features and args.prior_params):
+            raise SystemExit(
+                "need --embeddings, or --eeg-features + --prior-params to "
+                "sample CLIP embeddings from the prior"
+            )
+        from eeg_image_decode_tpu.core.config import PriorConfig
+        from eeg_image_decode_tpu.train.prior import PriorPipe, PriorState
+
+        d = np.load(args.eeg_features)
+        feats_test = d["eeg_features_test"]
+        pipe = PriorPipe(PriorConfig())
+        pipe.init(total_steps=1)
+        with open(args.prior_params, "rb") as f:
+            params = pickle.load(f)
+        pipe.state = PriorState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=pipe.state.opt_state,
+        )
+        embeds = np.asarray(pipe.generate(
+            jnp.asarray(feats_test), key=jax.random.key(args.seed)
+        ))
+
+    cfg = GITConfig.tiny() if args.tiny else GITConfig.git_large_coco()
+    model = GITCaptioner(cfg)
+    proj = PixelProjector(num_tokens=cfg.num_visual_tokens,
+                          out_dim=cfg.visual_dim)
+    if args.git_params:
+        with open(args.git_params, "rb") as f:
+            git_params = pickle.load(f)
+        with open(args.projector_params, "rb") as f:
+            proj_params = pickle.load(f)
+    else:  # random weights: smoke runs only (token ids are meaningless)
+        dummy_e = jnp.zeros((1, embeds.shape[-1]), jnp.float32)
+        dummy_v = jnp.zeros((1, cfg.num_visual_tokens, cfg.visual_dim))
+        dummy_t = jnp.zeros((1, 2), jnp.int32)
+        git_params = model.init(jax.random.key(0), dummy_v, dummy_t)["params"]
+        proj_params = proj.init(jax.random.key(1), dummy_e)["params"]
+
+    tokenizer = None
+    if args.vocab:
+        from eeg_image_decode_tpu.data.tokenizers import WordPieceTokenizer
+
+        tokenizer = WordPieceTokenizer.from_file(args.vocab)
+
+    n = embeds.shape[0]
+    bs = min(args.caption_batch, n)
+    lines: list[str] = []
+    for start in range(0, n, bs):
+        chunk = np.asarray(embeds[start : start + bs], np.float32)
+        real = chunk.shape[0]
+        if real < bs:  # pad: one jit trace per batch size only
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], bs - real, axis=0)], axis=0
+            )
+        grids = proj.apply({"params": proj_params}, jnp.asarray(chunk))
+        tokens = np.asarray(model.generate(
+            {"params": git_params}, grids,
+            max_new_tokens=args.max_new_tokens,
+        ))[:real]
+        if tokenizer is not None:
+            lines.extend(tokenizer.decode(row) for row in tokens)
+        else:  # no vocab: raw token ids (smoke / debugging)
+            lines.extend(" ".join(str(t) for t in row) for row in tokens)
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {n} captions to {args.out}")
+
+
+def _load_image_batch(path: str, *, seed: int, size: int) -> np.ndarray:
+    """Images in [0,1] NHWC from a ``.npy``/``.npz`` array, a ``cmd_generate``
+    output tree (``class_XXXX/<seed>.png``), or a flat directory of images
+    (sorted by filename — the reference's GT ordering)."""
+    from PIL import Image
+
+    def load_one(p: str) -> np.ndarray:
+        img = Image.open(p).convert("RGB").resize((size, size), Image.BILINEAR)
+        return np.asarray(img, np.float32) / 255.0
+
+    if os.path.isfile(path):
+        d = np.load(path)
+        arr = d[d.files[0]] if hasattr(d, "files") else d
+        arr = np.asarray(arr, np.float32)
+        if arr.max() > 1.5:
+            arr = arr / 255.0
+        if arr.shape[1] != size:
+            import jax
+
+            arr = np.asarray(jax.image.resize(
+                arr, (arr.shape[0], size, size, 3), "bilinear"
+            ))
+        return arr
+    entries = sorted(os.listdir(path))
+    class_dirs = [e for e in entries if
+                  os.path.isdir(os.path.join(path, e))]
+    if class_dirs:  # cmd_generate layout
+        return np.stack([
+            load_one(os.path.join(path, c, f"{seed}.png"))
+            for c in class_dirs
+        ])
+    files = [e for e in entries
+             if e.lower().endswith((".png", ".jpg", ".jpeg"))]
+    if not files:
+        raise SystemExit(f"no images found under {path}")
+    return np.stack([load_one(os.path.join(path, f)) for f in files])
+
+
+def cmd_metrics(args):
+    """Reconstruction metric table (ref ``Reconstruction_Metrics_ATM.ipynb``
+    cells 8-24): PixCorr + SSIM always; 2-way-identification and distance
+    rows per backbone whose converted params are supplied."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.eval import (
+        make_imagenet_extractor,
+        reconstruction_metrics,
+    )
+
+    gen = _load_image_batch(args.generated, seed=args.gen_seed,
+                            size=args.image_size)
+    gt = _load_image_batch(args.ground_truth, seed=0, size=args.image_size)
+    if gen.shape[0] != gt.shape[0]:
+        raise SystemExit(
+            f"generated ({gen.shape[0]}) and ground-truth ({gt.shape[0]}) "
+            "image counts differ — metrics need aligned pairs"
+        )
+
+    extractors = {}
+    if args.backbone_params:
+        with open(args.backbone_params, "rb") as f:
+            bp = pickle.load(f)
+        if "alexnet" in bp:  # one AlexNet param set serves both rows
+            extractors["alexnet2"] = make_imagenet_extractor(
+                "alexnet2", bp["alexnet"])
+            extractors["alexnet5"] = make_imagenet_extractor(
+                "alexnet5", bp["alexnet"])
+        for kind in ("inception", "effnet", "swav"):
+            if kind in bp:
+                extractors[kind] = make_imagenet_extractor(kind, bp[kind])
+    if args.clip_params:
+        from eeg_image_decode_tpu.eval.recon_metrics import make_clip_extractor
+        from eeg_image_decode_tpu.models.clip_vit import (
+            CLIPVisionConfig,
+            CLIPVisionTower,
+        )
+
+        tower = CLIPVisionTower(CLIPVisionConfig.vit_l_14())
+        with open(args.clip_params, "rb") as f:
+            extractors["clip"] = make_clip_extractor(tower, pickle.load(f))
+
+    out = reconstruction_metrics(
+        jnp.asarray(gen), jnp.asarray(gt), extractors or None
+    )
+    print(json.dumps(out))
+    if args.out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+        with open(args.out, "w") as f:
+            f.write("metric,value\n")
+            for k, v in out.items():
+                f.write(f"{k},{v}\n")
+        print(f"wrote {args.out}")
+
+
 def cmd_smoke(args):
     """Synthetic end-to-end: retrieval training + prior + generation."""
     import jax
@@ -486,6 +675,45 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true",
                    help="tiny generator config (tests/smoke)")
     p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("caption", help="GIT semantic-level batch captioning")
+    p.add_argument("--embeddings", default=None,
+                   help=".npy/.npz of CLIP image embeddings to caption "
+                        "(skips prior sampling)")
+    p.add_argument("--eeg-features", default=None)
+    p.add_argument("--prior-params", default=None)
+    p.add_argument("--git-params", default=None,
+                   help="converted GIT decoder params (pickle, "
+                        "convert_git_causal_lm output); random init if absent")
+    p.add_argument("--projector-params", default=None,
+                   help="PixelProjector params (pickle)")
+    p.add_argument("--vocab", default=None,
+                   help="WordPiece vocab.txt; raw token ids if absent")
+    p.add_argument("--out", default="./semantic_level_caption.txt")
+    p.add_argument("--max-new-tokens", type=int, default=25)
+    p.add_argument("--caption-batch", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny GIT config (tests/smoke)")
+    p.set_defaults(fn=cmd_caption)
+
+    p = sub.add_parser("metrics", help="reconstruction metric table")
+    p.add_argument("--generated", required=True,
+                   help="cmd_generate output dir, flat image dir, or .npy")
+    p.add_argument("--ground-truth", required=True,
+                   help="flat image dir (sorted) or .npy, aligned with "
+                        "--generated")
+    p.add_argument("--gen-seed", type=int, default=0,
+                   help="which per-class seed image to score")
+    p.add_argument("--image-size", type=int, default=425,
+                   help="common resize before scoring (MindEye protocol)")
+    p.add_argument("--backbone-params", default=None,
+                   help="pickle {alexnet/inception/effnet/swav: flax params} "
+                        "from the eval.backbones converters")
+    p.add_argument("--clip-params", default=None,
+                   help="flax CLIP ViT-L/14 vision-tower params (pickle)")
+    p.add_argument("--out", default=None, help="CSV output path")
+    p.set_defaults(fn=cmd_metrics)
 
     p = sub.add_parser("smoke", help="synthetic end-to-end check")
     p.set_defaults(fn=cmd_smoke)

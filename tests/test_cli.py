@@ -116,3 +116,87 @@ def test_evaluator_scores_against_test_gallery(things_with_features):
     )
     trainer.fit()
     assert np.isfinite(trainer.history[-1]["loss"])
+
+
+# ————————————————— caption + metrics subcommands (ref notebooks) —————————————————
+
+
+def _tiny_vocab_file(tmp_path, size=64):
+    """vocab.txt whose ids cover the tiny GITConfig's 64-token space."""
+    toks = ["[PAD]", "[CLS]", "[SEP]", "[UNK]"]
+    toks += [f"tok{i}" for i in range(len(toks), size)]
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(toks) + "\n")
+    return str(p)
+
+
+def test_cli_caption_tiny(tmp_path):
+    """`caption --tiny`: embeddings → PixelProjector → greedy GIT → decoded
+    lines, exercising the padded last batch (n=4, batch=3)."""
+    emb = tmp_path / "emb.npy"
+    np.save(emb, np.random.default_rng(0).normal(size=(4, 8)).astype(np.float32))
+    out = tmp_path / "semantic_level_caption.txt"
+    cli.main([
+        "caption", "--embeddings", str(emb), "--tiny",
+        "--vocab", _tiny_vocab_file(tmp_path),
+        "--out", str(out), "--max-new-tokens", "5", "--caption-batch", "3",
+    ])
+    lines = out.read_text().splitlines()
+    assert len(lines) == 4
+    # padding must not leak: rows 3 (second batch) decoded independently of
+    # the pad copies; determinism across runs
+    cli.main([
+        "caption", "--embeddings", str(emb), "--tiny",
+        "--vocab", _tiny_vocab_file(tmp_path),
+        "--out", str(out), "--max-new-tokens", "5", "--caption-batch", "4",
+    ])
+    assert out.read_text().splitlines() == lines
+
+
+def test_cli_caption_token_ids_without_vocab(tmp_path):
+    emb = tmp_path / "emb.npy"
+    np.save(emb, np.zeros((2, 8), np.float32))
+    out = tmp_path / "caps.txt"
+    cli.main(["caption", "--embeddings", str(emb), "--tiny",
+              "--out", str(out), "--max-new-tokens", "3"])
+    lines = out.read_text().splitlines()
+    assert len(lines) == 2
+    assert all(tok.isdigit() for tok in lines[0].split())
+
+
+def test_cli_metrics_identical_images(tmp_path, capsys):
+    """Identical gen/GT → pixcorr == 1, ssim == 1; CSV written; directory
+    layouts: cmd_generate class tree vs flat sorted dir."""
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    imgs = (rng.uniform(size=(3, 32, 32, 3)) * 255).astype(np.uint8)
+    gen_dir, gt_dir = tmp_path / "gen", tmp_path / "gt"
+    for i in range(3):
+        d = gen_dir / f"class_{i:04d}"
+        d.mkdir(parents=True)
+        Image.fromarray(imgs[i]).save(d / "0.png")
+        gt_dir.mkdir(exist_ok=True)
+        Image.fromarray(imgs[i]).save(gt_dir / f"img_{i:03d}.png")
+    csv = tmp_path / "metrics.csv"
+    cli.main(["metrics", "--generated", str(gen_dir),
+              "--ground-truth", str(gt_dir),
+              "--image-size", "32", "--out", str(csv)])
+    rows = dict(line.split(",") for line in
+                csv.read_text().splitlines()[1:])
+    assert float(rows["pixcorr"]) > 0.999
+    assert float(rows["ssim"]) > 0.999
+
+
+def test_cli_metrics_npy_inputs_and_mismatch(tmp_path):
+    gen = tmp_path / "gen.npy"
+    gt = tmp_path / "gt.npy"
+    rng = np.random.default_rng(2)
+    np.save(gen, rng.uniform(size=(4, 16, 16, 3)).astype(np.float32))
+    np.save(gt, rng.uniform(size=(4, 16, 16, 3)).astype(np.float32))
+    cli.main(["metrics", "--generated", str(gen), "--ground-truth", str(gt),
+              "--image-size", "16"])
+    np.save(gt, rng.uniform(size=(3, 16, 16, 3)).astype(np.float32))
+    with pytest.raises(SystemExit, match="counts differ"):
+        cli.main(["metrics", "--generated", str(gen),
+                  "--ground-truth", str(gt), "--image-size", "16"])
