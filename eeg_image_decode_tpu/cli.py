@@ -303,7 +303,7 @@ def cmd_generate(args):
     d = np.load(args.eeg_features)
     feats_test = d["eeg_features_test"]
 
-    pipe = PriorPipe(PriorConfig())
+    pipe = PriorPipe(PriorConfig.tiny() if args.tiny else PriorConfig())
     pipe.init(total_steps=1)
     with open(args.prior_params, "rb") as f:
         params = pickle.load(f)
@@ -320,6 +320,7 @@ def cmd_generate(args):
     else:
         gen.init(jax.random.key(0))  # random weights: pipeline smoke only
 
+    encode_prompts = None
     if args.text_encoder_params and args.tokenizer_dir:
         # encode '' once and install it as the default conditioning
         # (ref custom_pipeline.py:239 — NOT zeros)
@@ -327,38 +328,92 @@ def cmd_generate(args):
         from eeg_image_decode_tpu.gen.text_encoder import (
             SDXLTextEncoder,
             SDXLTextEncoderConfig,
+            tiny_text_encoder_config,
         )
 
+        if args.tiny:
+            te_cfg = tiny_text_encoder_config(gcfg.unet, args.tokenizer_dir)
+        else:
+            te_cfg = SDXLTextEncoderConfig()
+        ctx_len = te_cfg.clip_l.context_length
         tok1 = CLIPBPETokenizer.from_files(
             os.path.join(args.tokenizer_dir, "vocab.json"),
             os.path.join(args.tokenizer_dir, "merges.txt"),
+            context_length=ctx_len,
         )
         tok2 = CLIPBPETokenizer.from_files(
             os.path.join(args.tokenizer_dir, "vocab.json"),
             os.path.join(args.tokenizer_dir, "merges.txt"),
-            pad_token="!",
+            pad_token="!", context_length=ctx_len,
         )
-        enc = SDXLTextEncoder(SDXLTextEncoderConfig())
+        enc = SDXLTextEncoder(te_cfg)
         with open(args.text_encoder_params, "rb") as f:
             te_params = pickle.load(f)
         ctx, pooled = enc.encode(te_params, [""], tok1, tok2)
         gen.set_default_text_conditioning(ctx, pooled)
+        encode_prompts = lambda ps: enc.encode(te_params, ps, tok1, tok2)
+
+    # semantic-level recombination (ref 1x1024_reconstruct_sdxl.ipynb cells
+    # 20-27): per-class GIT caption text prompts + low-level init latents
+    captions = None
+    if args.captions_file:
+        if encode_prompts is None:
+            raise SystemExit(
+                "--captions-file needs --text-encoder-params and "
+                "--tokenizer-dir to encode the prompts"
+            )
+        with open(args.captions_file) as f:
+            captions = [line.rstrip("\n") for line in f]
+    init_latents = None
+    if args.init_latents:
+        d2 = np.load(args.init_latents)
+        init_latents = np.asarray(
+            d2[d2.files[0]] if hasattr(d2, "files") else d2, np.float32
+        )
+        if init_latents.shape[0] != feats_test.shape[0]:
+            raise SystemExit(
+                f"--init-latents rows ({init_latents.shape[0]}) must align "
+                f"with the EEG test features ({feats_test.shape[0]})"
+            )
 
     os.makedirs(args.output_dir, exist_ok=True)
     from PIL import Image
 
     n = feats_test.shape[0]
+    if captions is not None and len(captions) != n:
+        raise SystemExit(
+            f"--captions-file has {len(captions)} lines, need one per test "
+            f"class ({n})"
+        )
     bs = args.gen_batch
+
+    def pad_rows(a):
+        return np.concatenate(
+            [a, np.repeat(a[-1:], bs - a.shape[0], axis=0)], axis=0
+        ) if a.shape[0] < bs else a
+
     for start in range(0, n, bs):
         chunk = feats_test[start : start + bs]
         real = chunk.shape[0]
-        if real < bs:  # pad the last batch: one jit trace per batch size only
-            chunk = np.concatenate(
-                [chunk, np.repeat(chunk[-1:], bs - real, axis=0)], axis=0
-            )
+        # pad the last batch: one jit trace per batch size only
+        chunk = pad_rows(chunk)
         emb = pipe.generate(jnp.asarray(chunk), key=jax.random.key(start))
+        gen_kwargs = {}
+        if captions is not None:
+            prompts = captions[start : start + real]
+            prompts += [prompts[-1]] * (bs - real)
+            ctx_b, pooled_b = encode_prompts(prompts)
+            gen_kwargs.update(text_context=ctx_b, pooled_text_embed=pooled_b)
+        if init_latents is not None:
+            gen_kwargs.update(
+                init_latents=jnp.asarray(pad_rows(
+                    init_latents[start : start + real]
+                )),
+                img2img_strength=args.img2img_strength,
+            )
         for seed in range(args.seeds):
-            imgs = gen.generate(emb, key=jax.random.key(1000 + seed))
+            imgs = gen.generate(emb, key=jax.random.key(1000 + seed),
+                                **gen_kwargs)
             arr = np.asarray(jnp.round(imgs * 255)).astype(np.uint8)[:real]
             for j in range(arr.shape[0]):
                 cls = start + j
@@ -403,7 +458,7 @@ def cmd_caption(args):
 
         d = np.load(args.eeg_features)
         feats_test = d["eeg_features_test"]
-        pipe = PriorPipe(PriorConfig())
+        pipe = PriorPipe(PriorConfig.tiny() if args.tiny else PriorConfig())
         pipe.init(total_steps=1)
         with open(args.prior_params, "rb") as f:
             params = pickle.load(f)
@@ -669,6 +724,14 @@ def main(argv=None):
                         "convert_sdxl_text_encoders output)")
     p.add_argument("--tokenizer-dir", default=None,
                    help="directory with the CLIP vocab.json + merges.txt")
+    p.add_argument("--captions-file", default=None,
+                   help="semantic-level text prompts, one line per test "
+                        "class (e.g. cmd_caption output) — needs the text "
+                        "encoder flags")
+    p.add_argument("--init-latents", default=None,
+                   help=".npy/.npz VAE latents per test class for the "
+                        "low-level img2img init")
+    p.add_argument("--img2img-strength", type=float, default=0.7)
     p.add_argument("--output-dir", default="./generated_imgs")
     p.add_argument("--seeds", type=int, default=10)
     p.add_argument("--gen-batch", type=int, default=50)

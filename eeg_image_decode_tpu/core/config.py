@@ -144,6 +144,16 @@ class PriorConfig:
     guidance_scale: float = 5.0
     seed: int = 0
 
+    @staticmethod
+    def tiny() -> "PriorConfig":
+        """Dims matched to ``SDXLUNetConfig.tiny()``'s 64-d image embeds —
+        the CLI's ``--tiny`` smoke chain (prior → generator) end-to-end."""
+        return PriorConfig(
+            embed_dim=64, cond_dim=64, hidden_dims=(64, 32),
+            time_embed_dim=32, batch_size=8, epochs=2, warmup_steps=2,
+            num_inference_steps=4,
+        )
+
 
 @dataclass(frozen=True)
 class LowLevelConfig:

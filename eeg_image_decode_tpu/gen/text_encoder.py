@@ -97,6 +97,32 @@ class SDXLTextEncoder:
         return self.encode_tokens(params, ids1, ids2)
 
 
+def tiny_text_encoder_config(unet_cfg, tokenizer_dir: str
+                             ) -> SDXLTextEncoderConfig:
+    """Tiny dual-tower config matched to a tiny UNet: the two tower widths
+    sum to ``cross_attention_dim``, tower-2's projection emits
+    ``pooled_text_embed_dim``, and the vocab size comes from the tokenizer's
+    ``vocab.json``. Used by the CLI's ``--tiny`` smoke path so the text
+    conditioning plugs into ``SDXLUNetConfig.tiny()``."""
+    import json
+    import os
+
+    with open(os.path.join(tokenizer_dir, "vocab.json")) as f:
+        vocab_size = len(json.load(f))
+    xd = unet_cfg.cross_attention_dim
+    w1 = xd // 2
+    return SDXLTextEncoderConfig(
+        clip_l=CLIPTextConfig(
+            vocab_size=vocab_size, context_length=12, width=w1, layers=2,
+            heads=2, embed_dim=w1, act="quick_gelu",
+        ),
+        big_g=CLIPTextConfig(
+            vocab_size=vocab_size, context_length=12, width=xd - w1, layers=2,
+            heads=2, embed_dim=unet_cfg.pooled_text_embed_dim, act="gelu",
+        ),
+    )
+
+
 # ——————————————————— transformers checkpoint conversion ———————————————————
 
 

@@ -200,3 +200,95 @@ def test_cli_metrics_npy_inputs_and_mismatch(tmp_path):
     with pytest.raises(SystemExit, match="counts differ"):
         cli.main(["metrics", "--generated", str(gen),
                   "--ground-truth", str(gt), "--image-size", "16"])
+
+
+def test_cli_generate_semantic_recombination(tmp_path):
+    """Full C31 surface through the CLI: prior sampling + per-class caption
+    prompts (encoded, not zeros) + low-level init latents, with a padded last
+    batch (n=3, gen-batch=2). Ref ``1x1024_reconstruct_sdxl.ipynb`` 20-27."""
+    import json
+    import pickle
+
+    import jax
+
+    from eeg_image_decode_tpu.core.config import PriorConfig
+    from eeg_image_decode_tpu.data.tokenizers import bytes_to_unicode
+    from eeg_image_decode_tpu.gen.sdxl import GeneratorConfig
+    from eeg_image_decode_tpu.gen.text_encoder import (
+        SDXLTextEncoder,
+        tiny_text_encoder_config,
+    )
+    from eeg_image_decode_tpu.train.prior import PriorPipe
+
+    rng = np.random.default_rng(0)
+    feats = tmp_path / "eeg_feats.npz"
+    np.savez(feats, eeg_features_test=rng.normal(size=(3, 64)).astype(np.float32))
+
+    pipe = PriorPipe(PriorConfig.tiny())
+    pipe.init(total_steps=1)
+    prior_file = tmp_path / "prior.pkl"
+    with open(prior_file, "wb") as f:
+        pickle.dump(jax.tree.map(np.asarray, pipe.state.params), f)
+
+    # byte-level CLIP vocab (as in test_sdxl_text_encoder)
+    chars = list(bytes_to_unicode().values())
+    vocab = {}
+    for c in chars:
+        vocab[c] = len(vocab)
+    for c in chars:
+        vocab[c + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version: 0.2\n")
+
+    gcfg = GeneratorConfig.tiny()
+    te_cfg = tiny_text_encoder_config(gcfg.unet, str(tmp_path))
+    te_params = SDXLTextEncoder(te_cfg).init(jax.random.key(3))
+    te_file = tmp_path / "te.pkl"
+    with open(te_file, "wb") as f:
+        pickle.dump(jax.tree.map(np.asarray, te_params), f)
+
+    caps = tmp_path / "caps.txt"
+    caps.write_text("a cat\na dog\na house\n")
+    lat = tmp_path / "latents.npy"
+    h, w = gcfg.latent_size
+    np.save(lat, rng.normal(size=(3, h, w, gcfg.unet.in_channels))
+            .astype(np.float32))
+
+    out = tmp_path / "imgs"
+    cli.main([
+        "generate", "--eeg-features", str(feats),
+        "--prior-params", str(prior_file), "--tiny",
+        "--text-encoder-params", str(te_file),
+        "--tokenizer-dir", str(tmp_path),
+        "--captions-file", str(caps),
+        "--init-latents", str(lat), "--img2img-strength", "0.5",
+        "--output-dir", str(out), "--seeds", "1", "--gen-batch", "2",
+    ])
+    for i in range(3):
+        assert (out / f"class_{i:04d}" / "0.png").exists()
+
+
+def test_cli_generate_refuses_misaligned_captions(tmp_path):
+    import pickle
+
+    import jax
+
+    from eeg_image_decode_tpu.core.config import PriorConfig
+    from eeg_image_decode_tpu.train.prior import PriorPipe
+
+    feats = tmp_path / "f.npz"
+    np.savez(feats, eeg_features_test=np.zeros((3, 64), np.float32))
+    pipe = PriorPipe(PriorConfig.tiny())
+    pipe.init(total_steps=1)
+    prior_file = tmp_path / "prior.pkl"
+    with open(prior_file, "wb") as f:
+        pickle.dump(jax.tree.map(np.asarray, pipe.state.params), f)
+    caps = tmp_path / "caps.txt"
+    caps.write_text("only one line\n")
+    with pytest.raises(SystemExit, match="needs --text-encoder-params"):
+        cli.main(["generate", "--eeg-features", str(feats),
+                  "--prior-params", str(prior_file), "--tiny",
+                  "--captions-file", str(caps),
+                  "--output-dir", str(tmp_path / "o")])
