@@ -118,6 +118,54 @@ class DiffusionPriorUNet(nn.Module):
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="output_dense")(h)
 
 
+def _pt_linear(sd: dict, p: str) -> dict:
+    return {"kernel": np.asarray(sd[f"{p}.weight"], np.float32).T,
+            "bias": np.asarray(sd[f"{p}.bias"], np.float32)}
+
+
+def _pt_ln(sd: dict, p: str) -> dict:
+    return {"scale": np.asarray(sd[f"{p}.weight"], np.float32),
+            "bias": np.asarray(sd[f"{p}.bias"], np.float32)}
+
+
+def convert_diffusion_prior(sd: dict, *, n_stages: int | None = None) -> dict:
+    """Reference ``diffusion_prior.pt`` state dict → :class:`DiffusionPriorUNet`
+    params.
+
+    Torch layout (ref ``Generation/diffusion_prior.py:92-203``):
+    ``input_layer.{0,1}`` Linear+LayerNorm, per-stage
+    ``encode_time_embedding.{i}.linear_{1,2}`` (diffusers
+    ``TimestepEmbedding``), ``encode_cond_embedding.{i}`` Linear,
+    ``encode_layers.{i}.{0,1}`` Linear+LayerNorm, the ``decode_*`` mirrors,
+    and ``output_layer``. ``time_proj`` (``Timesteps``) has no parameters and
+    is matched by :func:`timestep_embedding`.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if n_stages is None:
+        n_stages = sum(
+            1 for k in sd if k.startswith("encode_layers.")
+            and k.endswith(".0.weight")
+        )
+    params = {
+        "input_dense": _pt_linear(sd, "input_layer.0"),
+        "input_ln": _pt_ln(sd, "input_layer.1"),
+        "output_dense": _pt_linear(sd, "output_layer"),
+    }
+    for side, enc in (("enc", "encode"), ("dec", "decode")):
+        for i in range(n_stages):
+            params[f"{side}_time_{i}"] = {
+                "fc1": _pt_linear(sd, f"{enc}_time_embedding.{i}.linear_1"),
+                "fc2": _pt_linear(sd, f"{enc}_time_embedding.{i}.linear_2"),
+            }
+            params[f"{side}_cond_{i}"] = _pt_linear(
+                sd, f"{enc}_cond_embedding.{i}")
+            params[f"{side}_layer_{i}"] = {
+                "Dense_0": _pt_linear(sd, f"{enc}_layers.{i}.0"),
+                "LayerNorm_0": _pt_ln(sd, f"{enc}_layers.{i}.1"),
+            }
+    return params
+
+
 class DiffusionPriorMLP(nn.Module):
     """Flat residual-MLP variant (ref ``DiffusionPrior``, :12-89)."""
 

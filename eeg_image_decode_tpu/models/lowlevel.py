@@ -9,6 +9,8 @@ features to a 1×1 map, then a 7-stage ConvTranspose upsampler to the
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -53,3 +55,53 @@ class EncoderLowLevel(nn.Module):
         h = nn.relu(h)
         return nn.Conv(self.latent_channels, (1, 1), dtype=self.dtype,
                        name="proj_out")(h).astype(jnp.float32)
+
+
+def convert_encoder_low_level(sd: dict) -> dict:
+    """Reference ``encoder_low_level`` state dict → {"params", "batch_stats"}
+    for :class:`EncoderLowLevel`.
+
+    Torch layout (ref ``train_vae_latent_512_low_level_no_average.py:219-251``):
+    ``subject_wise_linear.0`` Linear(250→128); ``upsampler.{0,3,6,9,12,15}``
+    ConvTranspose2d(k=4,s=2,p=1) with BatchNorm2d at ``{1,4,7,10,13,16}``;
+    ``upsampler.18`` ConvTranspose2d(32→16,k=1) + BN at ``.19``;
+    ``upsampler.21`` ConvTranspose2d(16→4,k=1). A 1×1 ConvTranspose is a 1×1
+    Conv, so the two head stages convert to the flax ``Conv`` modules.
+
+    torch ConvTranspose2d weights are (in, out, kh, kw) and torch computes the
+    *gradient-of-conv* (implicitly flipped kernel); flax ``nn.ConvTranspose``
+    runs ``lax.conv_transpose`` with an unflipped HWIO kernel, so the spatial
+    axes flip in the transpose stages. Parity is pinned against
+    ``torch.nn.ConvTranspose2d`` in ``tests/test_lowlevel_convert.py``.
+    """
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+    def convt(p):  # (in, out, kh, kw) → flipped (kh, kw, in, out)
+        w = np.transpose(sd[f"{p}.weight"], (2, 3, 0, 1))[::-1, ::-1]
+        return {"kernel": np.ascontiguousarray(w),
+                "bias": sd[f"{p}.bias"]}
+
+    def conv1x1(p):  # 1×1: no spatial extent, plain layout move
+        return {"kernel": np.transpose(sd[f"{p}.weight"], (2, 3, 0, 1)),
+                "bias": sd[f"{p}.bias"]}
+
+    def bn(p):
+        return (
+            {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]},
+            {"mean": sd[f"{p}.running_mean"], "var": sd[f"{p}.running_var"]},
+        )
+
+    params = {
+        "subject_linear": {
+            "kernel": sd["subject_wise_linear.0.weight"].T,
+            "bias": sd["subject_wise_linear.0.bias"],
+        },
+    }
+    stats = {}
+    for i, idx in enumerate((0, 3, 6, 9, 12, 15)):
+        params[f"up_{i}"] = convt(f"upsampler.{idx}")
+        params[f"bn_{i}"], stats[f"bn_{i}"] = bn(f"upsampler.{idx + 1}")
+    params["proj_16"] = conv1x1("upsampler.18")
+    params["bn_proj"], stats["bn_proj"] = bn("upsampler.19")
+    params["proj_out"] = conv1x1("upsampler.21")
+    return {"params": params, "batch_stats": stats}

@@ -1,0 +1,83 @@
+"""Torch-oracle parity for the ``encoder_low_level`` checkpoint converter.
+
+Builds a torch module with EXACTLY the reference's parameter layout
+(``train_vae_latent_512_low_level_no_average.py:219-251``:
+``subject_wise_linear.0`` + a flat ``upsampler`` Sequential of six
+ConvTranspose2d(k=4,s=2,p=1)+BN+ReLU stages and two 1×1 head stages),
+converts with ``convert_encoder_low_level``, and asserts eval-mode forward
+parity with :class:`EncoderLowLevel` — pinning the ConvTranspose kernel-flip
+and the SAME-padding ≡ (k=4,s=2,p=1) equivalence.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from eeg_image_decode_tpu.models.lowlevel import (
+    EncoderLowLevel,
+    convert_encoder_low_level,
+)
+
+N_CH, SEQ, PROJ = 4, 10, 8  # input channels 4·8 = 32
+STAGES = (16, 8, 8, 8, 8, 8)
+
+
+class _RefLowLevel(torch.nn.Module):
+    """Reference-layout torch oracle (state-dict-key compatible)."""
+
+    def __init__(self):
+        super().__init__()
+        self.subject_wise_linear = torch.nn.ModuleList(
+            [torch.nn.Linear(SEQ, PROJ)]
+        )
+        layers = []
+        in_ch = N_CH * PROJ
+        for ch in STAGES:
+            layers += [
+                torch.nn.ConvTranspose2d(in_ch, ch, kernel_size=4, stride=2,
+                                         padding=1),
+                torch.nn.BatchNorm2d(ch),
+                torch.nn.ReLU(inplace=True),
+            ]
+            in_ch = ch
+        layers += [
+            torch.nn.ConvTranspose2d(in_ch, 16, kernel_size=1, stride=1),
+            torch.nn.BatchNorm2d(16),
+            torch.nn.ReLU(inplace=True),
+            torch.nn.ConvTranspose2d(16, 4, kernel_size=1, stride=1),
+        ]
+        self.upsampler = torch.nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.subject_wise_linear[0](x)
+        x = x.reshape(x.size(0), N_CH * PROJ, 1, 1)
+        return self.upsampler(x)
+
+
+def test_lowlevel_converter_forward_parity():
+    torch.manual_seed(0)
+    ref = _RefLowLevel().eval()
+    # non-trivial running stats so eval-mode BN is actually exercised
+    with torch.no_grad():
+        ref.train()
+        for _ in range(3):
+            ref(torch.randn(6, N_CH, SEQ))
+        ref.eval()
+
+    variables = convert_encoder_low_level(
+        {k: v.numpy() for k, v in ref.state_dict().items()}
+    )
+    model = EncoderLowLevel(n_channels=N_CH, seq_len=SEQ, time_proj_dim=PROJ,
+                            stage_channels=STAGES)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(3, N_CH, SEQ)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()  # NCHW
+    got = np.asarray(model.apply(variables, jnp.asarray(x)))  # NHWC
+    np.testing.assert_allclose(
+        got, np.transpose(want, (0, 2, 3, 1)), atol=1e-4, rtol=1e-4
+    )
