@@ -46,8 +46,8 @@ class TSConv(nn.Module):
     emb_size: int = 40
     dropout: float = 0.5
     spatial_extent: int = 63  # electrodes covered by the spatial conv
-    #: fuse conv+avg-pool into one Pallas MXU kernel (see ops/tsconv.py);
-    #: 'auto' → on for TPU, off elsewhere
+    #: fuse conv+avg-pool into one dense MXU matmul (see ops/tsconv.py —
+    #: fastest of the three formulations); 'auto' → on for TPU, off elsewhere
     fused_stage1: bool | str = "auto"
     dtype: jnp.dtype = jnp.float32
 
@@ -91,8 +91,14 @@ class TSConv(nn.Module):
             x = nn.avg_pool(
                 x, window_shape=(1, self.pool_size), strides=(1, self.pool_stride)
             )
+        # BN activations stay in the compute dtype — flax always promotes the
+        # mean/var REDUCTIONS to fp32 (force_float32_reductions) and keeps
+        # running stats fp32, so only storage precision changes. Materializing
+        # the (B, 63, P, F) activation in fp32 here cost ~35% of the train
+        # step on v5e (bf16→fp32 copies + fp32 layout copies, seen in the
+        # profiler); elementwise normalize fuses either way.
         x = nn.BatchNorm(
-            use_running_average=deterministic, momentum=0.9, dtype=jnp.float32,
+            use_running_average=deterministic, momentum=0.9, dtype=self.dtype,
             name="bn1",
         )(x)
         x = nn.elu(x)
@@ -105,7 +111,7 @@ class TSConv(nn.Module):
             name="spatial_conv",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=deterministic, momentum=0.9, dtype=jnp.float32,
+            use_running_average=deterministic, momentum=0.9, dtype=self.dtype,
             name="bn2",
         )(x)
         x = nn.elu(x)
