@@ -12,6 +12,8 @@ notebook cells, ``train_vae_latent_512_low_level_no_average.py``,
     python -m eeg_image_decode_tpu.cli train-prior    --eeg-features f.npz --out prior/
     python -m eeg_image_decode_tpu.cli train-lowlevel --subjects sub-08 --latents l.npz
     python -m eeg_image_decode_tpu.cli preprocess     --sub 1 --data-root Raw/
+    python -m eeg_image_decode_tpu.cli caption        --eeg-features f.npz --prior-params p.pkl
+    python -m eeg_image_decode_tpu.cli metrics        --generated imgs/ --ground-truth gt/
     python -m eeg_image_decode_tpu.cli smoke          # synthetic end-to-end
 
 Dataset paths come from ``--data-config`` (the reference's

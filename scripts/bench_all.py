@@ -139,6 +139,43 @@ def _bench_eval():
     }))
 
 
+def _bench_reconstruction():
+    """End-to-end EEG-embedding → image latency: full-size diffusion prior
+    (50 steps, CFG 5.0, the reference's reconstruction setting) + full-size
+    SDXL-turbo UNet ×4 steps + VAE decode at 512 px, batch 1 — the
+    BASELINE.md north-star path (<10 s per reconstruction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.core.config import PriorConfig
+    from eeg_image_decode_tpu.gen.sdxl import Generator4Embeds, GeneratorConfig
+    from eeg_image_decode_tpu.train.prior import PriorPipe
+
+    pipe = PriorPipe(PriorConfig())
+    pipe.init(total_steps=1)
+    gen = Generator4Embeds(GeneratorConfig())
+    gen.init_abstract(jax.random.key(0))  # bf16 random weights, full shapes
+
+    eeg_feat = jax.random.normal(jax.random.key(1), (1, 1024), jnp.float32)
+
+    def run():
+        t0 = time.perf_counter()
+        h = pipe.generate(eeg_feat, key=jax.random.key(2))
+        img = gen.generate(h, key=jax.random.key(3))
+        jax.block_until_ready(img)
+        return time.perf_counter() - t0
+
+    run()  # compile
+    v = min(run() for _ in range(3))
+    print(json.dumps({
+        "metric": "reconstruction_latency_e2e",
+        "value": round(v * 1e3, 1),
+        "unit": "ms/image",
+        "config": {"prior_steps": 50, "cfg": 5.0, "sdxl_steps": 4,
+                   "resolution": 512, "batch": 1},
+    }))
+
+
 def main():
     import jax
 
@@ -147,6 +184,7 @@ def main():
     _bench_train("bs64_insubject", batch=64, joint=False, n_subjects=1)
     _bench_train("bs16_joint_2subj", batch=16, joint=True, n_subjects=2)
     _bench_eval()
+    _bench_reconstruction()
 
 
 if __name__ == "__main__":

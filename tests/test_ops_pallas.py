@@ -73,3 +73,50 @@ def test_fused_handles_nonaligned_rows(rng):
     got = tsconv_stage1(x, w, use_pallas=True, interpret=True)
     want = tsconv_stage1(x, w, use_pallas=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_matmul_impl_matches_conv(rng):
+    """The dense-matmul formulation (the TPU default) vs the conv oracle,
+    values and gradients, including non-aligned shapes."""
+    from eeg_image_decode_tpu.ops.tsconv import (
+        expand_folded_kernel,
+        tsconv_pool_matmul,
+    )
+
+    x = jnp.asarray(rng.normal(size=(3, 7, 130)).astype(np.float32))
+    wt = jnp.asarray(rng.normal(size=(75, 8)).astype(np.float32))
+    got = tsconv_pool_matmul(x, wt, 5)
+    want = tsconv_pool_reference(x, wt, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-5)
+
+    gm = jax.grad(lambda x, w: jnp.sum(tsconv_pool_matmul(x, w, 5) ** 2),
+                  argnums=(0, 1))(x, wt)
+    gr = jax.grad(lambda x, w: jnp.sum(tsconv_pool_reference(x, w, 5) ** 2),
+                  argnums=(0, 1))(x, wt)
+    for a, b in zip(gm, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-4)
+
+    # the expanded operand realizes E[t, p·F+f] = w̃[t − p·s, f]
+    e = np.asarray(expand_folded_kernel(wt, 130, 5)).reshape(130, -1, 8)
+    assert e.shape[1] == (130 - 75) // 5 + 1
+    np.testing.assert_array_equal(e[9, 1], np.asarray(wt)[4])  # t=9,p=1,m=4
+    np.testing.assert_array_equal(e[3, 1], np.zeros(8))        # t−s < 0
+
+
+def test_stage1_impl_selection(rng):
+    """tsconv_stage1 impl flag: matmul/pallas/conv all agree; use_pallas=False
+    forces the conv path."""
+    x = jnp.asarray(rng.normal(size=(2, 4, 130)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(25, 8)).astype(np.float32))
+    outs = {
+        impl: tsconv_stage1(x, w, impl=impl, interpret=True)
+        for impl in ("matmul", "pallas", "conv")
+    }
+    np.testing.assert_allclose(np.asarray(outs["matmul"]),
+                               np.asarray(outs["conv"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(outs["pallas"]),
+                               np.asarray(outs["conv"]), atol=2e-5)
+    forced = tsconv_stage1(x, w, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(forced), np.asarray(outs["conv"]))
