@@ -477,6 +477,11 @@ def cmd_caption(args):
     proj = PixelProjector(num_tokens=cfg.num_visual_tokens,
                           out_dim=cfg.visual_dim)
     if args.git_params:
+        if not args.projector_params:
+            raise SystemExit(
+                "--git-params needs --projector-params (the trained "
+                "PixelProjector adapter; see train/adapters.py)"
+            )
         with open(args.git_params, "rb") as f:
             git_params = pickle.load(f)
         with open(args.projector_params, "rb") as f:

@@ -9,7 +9,11 @@ production use on TPU:
   padding to a fixed batch.
 - ``ReconstructionService``: EEG epochs → images, chaining encoder → diffusion
   prior (CFG lax.scan) → SDXL generator; every stage jit-cached so steady-state
-  latency is pure device time (~0.13 s/image at full SDXL size on one v5e).
+  latency is pure device time (~0.12 s/image at full SDXL size on one v5e,
+  ``scripts/bench_all.py::reconstruction_latency_e2e``).
+- ``CaptionService``: EEG epochs → caption strings, chaining encoder → prior →
+  PixelProjector → greedy GIT decode → WordPiece detokenize (the semantic-level
+  pipeline of ``GIT_caption_batch.ipynb`` as a service).
 """
 
 from __future__ import annotations
@@ -115,3 +119,66 @@ class ReconstructionService:
         embeds = self.prior.generate(feats, key=jax.random.key(seed))
         imgs = self.generator.generate(embeds, key=jax.random.key(seed + 1))
         return np.asarray(imgs)[:n]
+
+
+class CaptionService:
+    """EEG → caption strings (the reference's semantic-level pipeline)."""
+
+    def __init__(self, model, variables, prior_pipe, captioner,
+                 captioner_params: dict, projector_params: dict, tokenizer,
+                 *, max_batch: int = 32, max_new_tokens: int = 25):
+        from eeg_image_decode_tpu.models.git_caption import PixelProjector
+
+        self.model = model
+        self.variables = variables
+        self.prior = prior_pipe
+        self.captioner = captioner
+        self.captioner_params = captioner_params
+        self.tokenizer = tokenizer
+        self.max_batch = max_batch
+        self.max_new_tokens = max_new_tokens
+        cfg = captioner.config
+        self._projector = PixelProjector(
+            num_tokens=cfg.num_visual_tokens, out_dim=cfg.visual_dim
+        )
+        self._projector_params = projector_params
+
+        @jax.jit
+        def encode(variables, eeg, subject_ids):
+            feats, _ = model.apply(
+                variables, eeg, subject_ids, deterministic=True
+            )
+            return feats.astype(jnp.float32)
+
+        self._encode = encode
+
+    def caption(
+        self,
+        eeg: np.ndarray,
+        subject_ids: np.ndarray | int,
+        *,
+        seed: int = 0,
+    ) -> list[str]:
+        """(B, C, T) EEG → B caption strings. Pads to ``max_batch`` so every
+        call hits the same compiled programs."""
+        eeg = np.asarray(eeg, np.float32)
+        if np.isscalar(subject_ids):
+            subject_ids = np.full(eeg.shape[0], subject_ids)
+        n = eeg.shape[0]
+        if n > self.max_batch:
+            raise ValueError(f"batch {n} > max_batch {self.max_batch}")
+        pad = self.max_batch - n
+        eeg_p = np.pad(eeg, ((0, pad), (0, 0), (0, 0)))
+        sid_p = np.pad(np.asarray(subject_ids, np.int32), (0, pad))
+        feats = self._encode(
+            self.variables, jnp.asarray(eeg_p), jnp.asarray(sid_p)
+        )
+        embeds = self.prior.generate(feats, key=jax.random.key(seed))
+        grids = self._projector.apply(
+            {"params": self._projector_params}, embeds
+        )
+        tokens = np.asarray(self.captioner.generate(
+            {"params": self.captioner_params}, grids,
+            max_new_tokens=self.max_new_tokens,
+        ))[:n]
+        return [self.tokenizer.decode(row) for row in tokens]

@@ -67,3 +67,51 @@ def test_reconstruction_service_chain():
     imgs = svc.reconstruct(test.eeg[:3], test.subject_ids[:3])
     assert imgs.shape == (3, 16, 16, 3)
     assert imgs.min() >= 0 and imgs.max() <= 1
+
+
+def test_caption_service_chain():
+    """EEG → encoder → prior → PixelProjector → GIT greedy → strings, with
+    the padded fixed batch (n=3 on max_batch=4)."""
+    from eeg_image_decode_tpu.data.tokenizers import WordPieceTokenizer
+    from eeg_image_decode_tpu.models.git_caption import (
+        GITCaptioner,
+        GITConfig,
+        PixelProjector,
+    )
+    from eeg_image_decode_tpu.serve import CaptionService
+
+    model, trainer, train, test = _trained()
+    prior = PriorPipe(PriorConfig(
+        embed_dim=16, cond_dim=64, hidden_dims=(32, 16), time_embed_dim=16,
+        epochs=1, batch_size=16, warmup_steps=2, num_inference_steps=3,
+        guidance_scale=2.0,
+    ))
+    prior.init(total_steps=1)
+
+    gcfg = GITConfig.tiny()  # visual_dim 16 matches the prior's embed_dim
+    cap = GITCaptioner(gcfg)
+    git_params = cap.init(
+        jax.random.key(0),
+        jnp.zeros((1, gcfg.num_visual_tokens, gcfg.visual_dim)),
+        jnp.zeros((1, 2), jnp.int32),
+    )["params"]
+    proj = PixelProjector(num_tokens=gcfg.num_visual_tokens,
+                          out_dim=gcfg.visual_dim)
+    proj_params = proj.init(jax.random.key(1),
+                            jnp.zeros((1, gcfg.visual_dim)))["params"]
+    vocab = ["[PAD]", "[CLS]", "[SEP]", "[UNK]"] + [
+        f"tok{i}" for i in range(4, gcfg.vocab_size)
+    ]
+    svc = CaptionService(
+        model,
+        {"params": trainer.state.params,
+         "batch_stats": trainer.state.batch_stats},
+        prior, cap, git_params, proj_params,
+        WordPieceTokenizer(vocab),
+        max_batch=4, max_new_tokens=4,
+    )
+    caps = svc.caption(test.eeg[:3], test.subject_ids[:3])
+    assert len(caps) == 3
+    assert all(isinstance(c, str) for c in caps)
+    # deterministic given the same seed
+    assert svc.caption(test.eeg[:3], test.subject_ids[:3]) == caps
