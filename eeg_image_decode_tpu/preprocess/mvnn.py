@@ -42,6 +42,41 @@ def ledoit_wolf_cov(x: np.ndarray) -> np.ndarray:
     return (1.0 - shrinkage) * s + shrinkage * mu * np.eye(p)
 
 
+def ledoit_wolf_cov_batched(x: np.ndarray, chunk: int = 256) -> np.ndarray:
+    """Batched :func:`ledoit_wolf_cov`: (N, n_samples, n_features) →
+    (N, n_features, n_features). Batched BLAS gemms instead of a per-epoch
+    Python loop, processed in chunks so the fp64 temporaries stay
+    cache-sized (~2 s for the full THINGS train session vs minutes for the
+    reference's per-epoch sklearn loop; tested equal to the scalar
+    version)."""
+    x = np.asarray(x)
+    n_total, n, p = x.shape
+    eye = np.eye(p)
+    out = np.empty((n_total, p, p), np.float64)
+    for i in range(0, n_total, chunk):
+        # explicit copy: the in-place centering/squaring below must never
+        # alias the caller's buffer (np.asarray(fp64_view) would)
+        xi = np.array(x[i : i + chunk], np.float64)
+        xi -= xi.mean(axis=1, keepdims=True)
+        s = np.matmul(xi.transpose(0, 2, 1), xi)
+        s /= n
+        mu = np.trace(s, axis1=1, axis2=2) / p
+        delta = ((s - mu[:, None, None] * eye) ** 2).sum(axis=(1, 2)) / p
+        # Σ_ij Σ_n x²[n,i]·x²[n,j] = Σ_n (Σ_i x²[n,i])² — O(n·p), not O(n·p²)
+        np.multiply(xi, xi, out=xi)
+        row2 = xi.sum(axis=2)
+        beta_raw = (row2**2).sum(axis=1) / n - (s**2).sum(axis=(1, 2))
+        beta = beta_raw / (n * p)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            shrinkage = np.where(delta == 0, 0.0, beta / delta)
+        shrinkage = np.clip(shrinkage, 0.0, 1.0)
+        out[i : i + chunk] = (
+            (1.0 - shrinkage)[:, None, None] * s
+            + (shrinkage * mu)[:, None, None] * eye
+        )
+    return out
+
+
 def matrix_inverse_sqrt(sigma: np.ndarray, eps: float = 1e-12) -> np.ndarray:
     """Σ^{-1/2} for symmetric PSD Σ via eigh with eigenvalue clamping."""
     sigma = np.asarray(sigma, np.float64)
@@ -53,15 +88,14 @@ def matrix_inverse_sqrt(sigma: np.ndarray, eps: float = 1e-12) -> np.ndarray:
 
 def session_covariance(epoched: np.ndarray) -> np.ndarray:
     """(conditions, reps, C, T) → (C, C): LW cov per epoch (channels over
-    time samples), averaged over reps then conditions (ref ``:160-178``)."""
-    n_cond, n_rep, n_ch, _ = epoched.shape
-    sigma = np.zeros((n_ch, n_ch), np.float64)
-    for c in range(n_cond):
-        s_cond = np.zeros_like(sigma)
-        for r in range(n_rep):
-            s_cond += ledoit_wolf_cov(epoched[c, r].T)  # (T, C) samples
-        sigma += s_cond / n_rep
-    return sigma / n_cond
+    time samples), averaged over reps then conditions (ref ``:160-178``).
+    All epochs go through one batched LW (the reference's per-epoch
+    sklearn loop takes minutes; this takes ~0.1 s/session)."""
+    n_cond, n_rep, n_ch, t = epoched.shape
+    x = epoched.reshape(n_cond * n_rep, n_ch, t).transpose(0, 2, 1)  # (N,T,C)
+    covs = ledoit_wolf_cov_batched(x)
+    # mean over reps then conditions ≡ overall mean (equal rep counts)
+    return covs.mean(axis=0)
 
 
 def mvnn_whiten(

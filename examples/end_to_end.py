@@ -85,6 +85,35 @@ def main():
     # — 6. reconstruction metrics (vs themselves here, for demonstration) —
     print("metrics:", reconstruction_metrics(imgs, imgs))
 
+    # — 7. semantic-level captions (random tiny GIT weights here; convert
+    #      git-large-coco + the trained PixelProjector for real captions) —
+    from eeg_image_decode_tpu.data.tokenizers import WordPieceTokenizer
+    from eeg_image_decode_tpu.models.git_caption import (
+        GITCaptioner,
+        GITConfig,
+        PixelProjector,
+        caption_embeddings,
+    )
+
+    gcfg = GITConfig.tiny()
+    cap = GITCaptioner(gcfg)
+    variables = cap.init(
+        jax.random.key(3),
+        jnp.zeros((1, gcfg.num_visual_tokens, gcfg.visual_dim)),
+        jnp.zeros((1, 2), jnp.int32),
+    )
+    proj_params = PixelProjector(
+        num_tokens=gcfg.num_visual_tokens, out_dim=gcfg.visual_dim
+    ).init(jax.random.key(4), jnp.zeros((1, 64)))["params"]
+    vocab = ["[PAD]", "[CLS]", "[SEP]", "[UNK]"] + [
+        f"word{i}" for i in range(4, gcfg.vocab_size)
+    ]
+    captions = caption_embeddings(
+        cap, variables, proj_params, gen_emb[:4],
+        WordPieceTokenizer(vocab), max_new_tokens=6,
+    )
+    print("captions:", captions)
+
 
 if __name__ == "__main__":
     main()

@@ -126,3 +126,29 @@ def test_merge_and_save_roundtrip(tmp_path, rng):
 
     d = _load_subject_file(str(tmp_path), "sub-01", train=False)
     assert "preprocessed_eeg_data" in d
+
+
+def test_ledoit_wolf_batched_equals_scalar():
+    """The vectorized LW used by session_covariance vs the sklearn-validated
+    scalar path, epoch by epoch."""
+    from eeg_image_decode_tpu.preprocess.mvnn import (
+        ledoit_wolf_cov,
+        ledoit_wolf_cov_batched,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(7, 40, 9))
+    x[3] *= 1e-6  # near-degenerate epoch exercises the shrinkage clamp
+    batched = ledoit_wolf_cov_batched(x)
+    for i in range(7):
+        np.testing.assert_allclose(batched[i], ledoit_wolf_cov(x[i]),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_ledoit_wolf_batched_does_not_mutate_input():
+    from eeg_image_decode_tpu.preprocess.mvnn import ledoit_wolf_cov_batched
+
+    x = np.random.default_rng(1).normal(size=(3, 20, 5))  # fp64 — alias risk
+    before = x.copy()
+    ledoit_wolf_cov_batched(x)
+    np.testing.assert_array_equal(x, before)
