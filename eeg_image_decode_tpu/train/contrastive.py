@@ -321,9 +321,19 @@ class ContrastiveTrainer:
         return {k: float(v) for k, v in out.items()}
 
     def fit(self, epochs: int | None = None, log_fn=print) -> list[dict]:
+        import math
+
         epochs = epochs or self.cfg.epochs
         for epoch in range(self.start_epoch, epochs):
             train_metrics = self.train_epoch(epoch)
+            if not math.isfinite(train_metrics["loss"]):
+                # abort before the checkpointer persists a poisoned state
+                # (the reference's finite-loss guard, models/util.py:92-94,
+                # promoted from its legacy helper to the real trainer)
+                raise FloatingPointError(
+                    f"non-finite training loss {train_metrics['loss']} at "
+                    f"epoch {epoch}; last checkpoint is still clean"
+                )
             eval_metrics = self.evaluate(epoch)
             row = {"epoch": epoch, **train_metrics, **eval_metrics}
             self.history.append(row)

@@ -175,6 +175,10 @@ class PriorPipe:
                 self.state, c_all, h_all, perm, jax.random.key(cfg.seed + epoch)
             )
             loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"non-finite prior loss {loss} at epoch {epoch}"
+                )
             dt = time.perf_counter() - t0
             history.append({"epoch": epoch, "loss": loss, "epoch_time_s": dt})
             if log_fn and (epoch % max(1, epochs // 20) == 0 or epoch == epochs - 1):

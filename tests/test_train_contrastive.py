@@ -134,3 +134,29 @@ def test_pallas_kernel_under_gspmd_mesh_matches_single_device(mesh8):
         jax.tree_util.tree_leaves(jax.device_get(t8.state.params)),
     ):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+
+
+def test_fit_aborts_on_nonfinite_loss():
+    """The reference's finite-loss guard (models/util.py:92-94): a diverging
+    run must raise instead of checkpointing poisoned state."""
+    import pytest
+
+    from eeg_image_decode_tpu.core.config import ContrastiveTrainConfig
+    from eeg_image_decode_tpu.data import make_synthetic_retrieval_data
+    from eeg_image_decode_tpu.models import build_encoder
+    from eeg_image_decode_tpu.train import ContrastiveTrainer
+
+    train, test = make_synthetic_retrieval_data(
+        n_classes=8, images_per_class=2, train_reps=2, clip_dim=32,
+        n_timepoints=64,
+    )
+    cfg = ContrastiveTrainConfig(
+        encoder="nice", batch_size=16, epochs=4, lr=1e30, eval_ks=(2,),
+    )
+    trainer = ContrastiveTrainer(
+        build_encoder("nice", proj_dim=32, temporal_kernel=9, pool_size=16,
+                      pool_stride=4),
+        cfg, train, test,
+    )
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        trainer.fit(log_fn=None)
