@@ -31,6 +31,18 @@ import jax
 import jax.numpy as jnp
 
 
+# batch-tile rows per grid step for the fused kernels (bf16 / fp32). Tuned on
+# v5e with scripts/bench_attention.py (flagship B=1024 fwd+bwd: bt=8 2.81 ms,
+# bt=16 2.52 ms, bt=32 2.87 ms, bt=64 2.47 ms — 16 taken: within noise of 64
+# at a quarter of the VMEM and compile time); fp32 halves the tile.
+BLOCK_BT_BF16 = 16
+BLOCK_BT_FP32 = 4
+
+
+def _block_bt(dtype) -> int:
+    return BLOCK_BT_BF16 if dtype == jnp.bfloat16 else BLOCK_BT_FP32
+
+
 def attention_layer_reference(x, params, masks=None, *, n_heads: int = 4):
     """jnp reference of the fused layer (fp32 softmax/LN, matmuls in x.dtype).
 
@@ -215,7 +227,7 @@ def _attention_pallas(x, params, masks, n_heads: int, interpret: bool,
     from jax.experimental.pallas import tpu as pltpu
 
     B, L, D = x.shape
-    bt = 8 if x.dtype == jnp.bfloat16 else 4  # fp32 halves the tile (VMEM)
+    bt = _block_bt(x.dtype)
     n_blocks = -(-B // bt)
     pad = n_blocks * bt - B
     has_masks = masks is not None
@@ -259,6 +271,10 @@ def _attention_pallas(x, params, masks, n_heads: int, interpret: bool,
         out_specs=pl.BlockSpec((bt, L, D), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks * bt, L, D), x.dtype),
+        # larger batch tiles need more than the default 16M scoped VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(x, *flat, *extra_args)
     return out[:B]
@@ -526,7 +542,7 @@ def _attention_pallas_bwd(x, params, masks, g, n_heads: int, interpret: bool,
     from jax.experimental.pallas import tpu as pltpu
 
     B, L, D = x.shape
-    bt = 8 if x.dtype == jnp.bfloat16 else 4  # fp32 halves the tile (VMEM)
+    bt = _block_bt(x.dtype)
     n_blocks = -(-B // bt)
     pad = n_blocks * bt - B
     has_masks = masks is not None
@@ -575,7 +591,8 @@ def _attention_pallas_bwd(x, params, masks, g, n_heads: int, interpret: bool,
         # param grads accumulate into revisited output blocks → the grid must
         # execute in order, not be parallelized/double-buffered
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x_p, *flat, *mask_args, g_p)

@@ -37,3 +37,39 @@ def test_tsconv_module_fused_equals_unfused(rng):
     np.testing.assert_allclose(
         np.asarray(out_f), np.asarray(out_u), atol=3e-5, rtol=1e-4
     )
+
+
+def test_tsconv_train_mode_fused_equals_unfused(rng):
+    """Training mode: the folded BatchNorm's batch statistics and running-
+    average updates must match stock nn.BatchNorm on the 4-D view."""
+    x = jnp.asarray(rng.normal(size=(4, 63, 250)).astype(np.float32))
+    unfused = TSConv(fused_stage1=False, dropout=0.0)
+    fused = TSConv(fused_stage1=True, dropout=0.0)
+    v_u = unfused.init(jax.random.key(0), x, deterministic=True)
+    v_f = fused.init(jax.random.key(0), x, deterministic=True)
+
+    k = v_u["params"]["temporal_conv"]["kernel"].reshape(25, 40)
+    params_f = dict(v_f["params"])
+    params_f["temporal_conv_kernel"] = k
+    for name in v_u["params"]:
+        if name != "temporal_conv":
+            params_f[name] = v_u["params"][name]
+
+    out_u, upd_u = unfused.apply(
+        {"params": v_u["params"], "batch_stats": v_u["batch_stats"]},
+        x, deterministic=False, mutable=["batch_stats"],
+    )
+    out_f, upd_f = fused.apply(
+        {"params": params_f, "batch_stats": v_u["batch_stats"]},
+        x, deterministic=False, mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_u), atol=5e-5, rtol=1e-4
+    )
+    for bn in ("bn1", "bn2"):
+        for stat in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(upd_f["batch_stats"][bn][stat]),
+                np.asarray(upd_u["batch_stats"][bn][stat]),
+                atol=1e-5, rtol=1e-4,
+            )
