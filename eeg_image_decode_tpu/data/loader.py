@@ -3,11 +3,21 @@
 The default trainers keep the whole dataset in HBM (4.2 GB THINGS-EEG fits on
 one v5e). For datasets that don't fit — multi-subject joint training at
 10×4.2 GB, or the un-averaged VAE split — this loader streams batches from
-host RAM with double buffering: while the device computes step ``i``, batch
-``i+1`` is already being transferred (``jax.device_put`` is async). The
-reference's answer to the same problem is DataLoader worker processes
-(``num_workers=64`` in the prior notebook, SURVEY.md §2.2); on TPU hosts a
-single process with async transfers saturates PCIe without the fork overhead.
+host RAM with a two-stage pipeline:
+
+1. **Batch assembly** (``src[idx]`` row gather) runs on the native C++
+   worker pool (``native/eid_loader.cpp`` via ``data/native_loader.py``):
+   submitted asynchronously for ``buffer_size`` batches ahead, so the gather
+   for batch ``i+k`` overlaps both the device compute *and* the host→device
+   transfer of earlier batches. numpy fancy indexing is single-threaded and
+   would block the dispatch thread for exactly that long.
+2. **Transfer**: ``jax.device_put`` is async — while the device computes
+   step ``i``, batch ``i+1`` is already on the bus.
+
+The reference's answer to the same problem is DataLoader worker processes
+(``num_workers=64`` in the prior notebook, SURVEY.md §2.2); here it is
+threads in one process — no fork, no pickle, shared memory by construction —
+with a transparent numpy fallback when no C++ toolchain is available.
 """
 
 from __future__ import annotations
@@ -18,6 +28,8 @@ from typing import Any
 import numpy as np
 
 import jax
+
+from eeg_image_decode_tpu.data.native_loader import GatherPool
 
 
 class PrefetchLoader:
@@ -33,40 +45,86 @@ class PrefetchLoader:
         drop_remainder: bool = True,
         buffer_size: int = 2,
         sharding: Any | None = None,
+        gather_threads: int = 0,
     ):
         n = {len(v) for v in arrays.values()}
         if len(n) != 1:
             raise ValueError(f"arrays disagree on length: { {k: len(v) for k, v in arrays.items()} }")
         self.n = n.pop()
-        self.arrays = arrays
+        self.arrays = {k: np.ascontiguousarray(v) for k, v in arrays.items()}
         self.batch_size = batch_size
         self.seed = seed
         self.drop_remainder = drop_remainder
         self.buffer_size = max(1, buffer_size)
         self.sharding = sharding
+        self._pool = GatherPool(gather_threads)
+        # staging slots cycle; slot s holds batch i where i % n_slots == s
+        self._n_slots = self.buffer_size + 1
+        self._slots = [
+            {
+                k: np.empty((batch_size,) + v.shape[1:], v.dtype)
+                for k, v in self.arrays.items()
+            }
+            for _ in range(self._n_slots)
+        ]
+
+    @property
+    def is_native(self) -> bool:
+        return self._pool.is_native
 
     def __len__(self) -> int:
         if self.drop_remainder:
             return self.n // self.batch_size
         return -(-self.n // self.batch_size)
 
+    def close(self) -> None:
+        self._pool.close()
+
     def epoch(self, epoch: int) -> Iterator[dict[str, jax.Array]]:
         rng = np.random.default_rng(self.seed * 100003 + epoch)
         perm = rng.permutation(self.n)
         n_batches = len(self)
+        # batch → (tickets, prior device batch whose transfer must finish
+        # before the slot's staging buffers can be overwritten)
+        pending: dict[int, list[int]] = {}
+        device_batches: dict[int, dict[str, jax.Array]] = {}
 
-        def put(i):
+        def submit(i: int) -> None:
+            slot = self._slots[i % self._n_slots]
+            prior = i - self._n_slots
+            if prior in device_batches:
+                # the async put of the batch that used this slot must be done
+                for v in device_batches.pop(prior).values():
+                    v.block_until_ready()
             idx = perm[i * self.batch_size : (i + 1) * self.batch_size]
-            batch = {k: v[idx] for k, v in self.arrays.items()}
-            if self.sharding is not None:
-                return {
-                    k: jax.device_put(v, self.sharding) for k, v in batch.items()
-                }
-            return {k: jax.device_put(v) for k, v in batch.items()}
+            pending[i] = [
+                self._pool.submit(self.arrays[k], idx, slot[k])
+                for k in self.arrays
+            ]
 
-        # prime the pipeline: device_put returns immediately (async transfer)
-        buf = [put(i) for i in range(min(self.buffer_size, n_batches))]
+        def put(i: int) -> dict[str, jax.Array]:
+            for t in pending.pop(i):
+                self._pool.wait(t)
+            slot = self._slots[i % self._n_slots]
+            real = len(
+                perm[i * self.batch_size : (i + 1) * self.batch_size]
+            )
+            out = {}
+            for k, staged in slot.items():
+                host = staged if real == self.batch_size else staged[:real]
+                out[k] = (
+                    jax.device_put(host, self.sharding)
+                    if self.sharding is not None
+                    else jax.device_put(host)
+                )
+            device_batches[i] = out
+            return out
+
+        # prime: gathers for the first buffer_size batches start immediately
+        for i in range(min(self.buffer_size, n_batches)):
+            submit(i)
         for i in range(n_batches):
+            batch = put(i)  # gather submitted buffer_size yields ago → done
             if i + self.buffer_size < n_batches:
-                buf.append(put(i + self.buffer_size))
-            yield buf.pop(0)
+                submit(i + self.buffer_size)  # runs during consumer compute
+            yield batch

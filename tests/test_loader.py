@@ -32,3 +32,49 @@ def test_prefetch_loader_deterministic_per_epoch(rng):
 def test_prefetch_loader_length_mismatch():
     with pytest.raises(ValueError):
         PrefetchLoader({"a": np.zeros(4), "b": np.zeros(5)}, batch_size=2)
+
+
+def test_prefetch_loader_batches_match_numpy_indexing(rng):
+    """Native-gather staging must produce exactly src[perm[i*B:(i+1)*B]]."""
+    n = 37
+    arrays = {"x": rng.normal(size=(n, 3, 5)).astype(np.float32),
+              "y": np.arange(n, dtype=np.int32)}
+    loader = PrefetchLoader(arrays, batch_size=5, seed=7,
+                            drop_remainder=False)
+    perm = np.random.default_rng(7 * 100003 + 2).permutation(n)
+    for i, batch in enumerate(loader.epoch(2)):
+        idx = perm[i * 5 : (i + 1) * 5]
+        np.testing.assert_array_equal(np.asarray(batch["y"]), arrays["y"][idx])
+        np.testing.assert_array_equal(np.asarray(batch["x"]), arrays["x"][idx])
+    loader.close()
+
+
+def test_native_gather_matches_numpy(rng):
+    from eeg_image_decode_tpu.data.native_loader import GatherPool
+
+    pool = GatherPool()
+    src = rng.normal(size=(200, 17)).astype(np.float32)
+    idx = rng.integers(0, 200, size=64)
+    np.testing.assert_array_equal(pool.gather(src, idx), src[idx])
+    # async path with several in-flight tickets
+    dsts = [np.empty((64, 17), np.float32) for _ in range(4)]
+    idxs = [rng.integers(0, 200, size=64) for _ in range(4)]
+    tickets = [pool.submit(src, i, d) for i, d in zip(idxs, dsts)]
+    for t, i, d in zip(tickets, idxs, dsts):
+        pool.wait(t)
+        np.testing.assert_array_equal(d, src[i])
+    pool.close()
+
+
+def test_npy_mmap_reads_numpy_file(rng, tmp_path):
+    from eeg_image_decode_tpu.data.native_loader import NpyMmap
+
+    for dtype in (np.float32, np.float64, np.int32):
+        arr = (rng.normal(size=(11, 6, 4)) * 100).astype(dtype)
+        p = str(tmp_path / f"a_{np.dtype(dtype).name}.npy")
+        np.save(p, arr)
+        m = NpyMmap(p)
+        assert m.array.shape == arr.shape and m.array.dtype == arr.dtype
+        np.testing.assert_array_equal(np.asarray(m.array), arr)
+        m.willneed()
+        m.close()
