@@ -209,6 +209,9 @@ class NpyMmap:
             self.array = np.frombuffer(buf, dtype=dtype).reshape(
                 tuple(shape)
             )
+            # the mapping is PROT_READ — a write through the view would
+            # segfault instead of raising without this
+            self.array.flags.writeable = False
         else:
             self.array = np.load(path, mmap_mode="r")
 

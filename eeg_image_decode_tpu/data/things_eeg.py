@@ -64,15 +64,46 @@ def extract_subject_id(sub: str) -> int:
     return int(m.group()) if m else -1
 
 
+#: mmap handles for sidecar caches, kept alive for the process lifetime so
+#: zero-copy views stay valid (bounded: one per subject/split actually read)
+_OPEN_MMAPS: list = []
+
+
 def _load_subject_file(data_path: str, subject: str, train: bool) -> dict:
     name = "preprocessed_eeg_training.npy" if train else "preprocessed_eeg_test.npy"
     path = os.path.join(data_path, subject, name)
+
+    # Sidecar raw-array cache: the reference pickles a dict into the .npy
+    # (preprocessing_utils.py:256-258), which forces a full unpickle copy of
+    # ~4.2 GB per subject on EVERY run. First load writes the EEG tensor as
+    # a real .npy next to it; later loads mmap it zero-copy (native reader
+    # with madvise readahead, data/native_loader.py) and page in lazily.
+    cache_data = path + ".raw.npy"
+    cache_times = path + ".times.npy"
+    if (
+        os.path.exists(cache_data)
+        and os.path.exists(cache_times)
+        and os.path.getmtime(cache_data) >= os.path.getmtime(path)
+    ):
+        from eeg_image_decode_tpu.data.native_loader import NpyMmap
+
+        m = NpyMmap(cache_data)
+        m.willneed()
+        _OPEN_MMAPS.append(m)
+        return {
+            "preprocessed_eeg_data": m.array,
+            "times": np.load(cache_times),
+        }
+
     raw = np.load(path, allow_pickle=True)
-    # the reference pickles a dict into a .npy filename
-    # (preprocessing_utils.py:256-258); np.load unpickles it directly, but
     # tolerate a 0-d object array from np.save(dict) too
     if isinstance(raw, np.ndarray):
         raw = raw.item()
+    try:  # best effort — data dirs may be read-only
+        np.save(cache_data, np.asarray(raw["preprocessed_eeg_data"]))
+        np.save(cache_times, np.asarray(raw["times"]))
+    except OSError:
+        pass
     return raw
 
 

@@ -132,3 +132,26 @@ def test_feature_cache_content_keyed(tmp_path):
     )
     loaded = load_features(p1)
     np.testing.assert_array_equal(loaded["img_features"], np.ones((2, 4)))
+
+
+def test_subject_file_sidecar_cache_roundtrip(rng, tmp_path):
+    """First load writes a raw-.npy sidecar; the mmap-cached reload must be
+    byte-identical to the pickled-dict path."""
+    import pickle
+
+    from eeg_image_decode_tpu.data.things_eeg import load_things_eeg_subject
+
+    sub = tmp_path / "sub-01"
+    sub.mkdir()
+    data = rng.normal(size=(40, 4, 63, 300)).astype(np.float32)
+    times = np.linspace(-0.2, 1.0, 350)
+    raw = {"preprocessed_eeg_data": data, "times": times, "ch_names": []}
+    p = sub / "preprocessed_eeg_training.npy"
+    with open(p, "wb") as f:
+        pickle.dump(raw, f, protocol=4)
+
+    e1, l1 = load_things_eeg_subject(str(tmp_path), "sub-01", train=True)
+    assert (sub / "preprocessed_eeg_training.npy.raw.npy").exists()
+    e2, l2 = load_things_eeg_subject(str(tmp_path), "sub-01", train=True)
+    np.testing.assert_array_equal(e1, e2)
+    np.testing.assert_array_equal(l1, l2)
