@@ -204,7 +204,10 @@ def cmd_train_prior(args):
         lr=args.lr or 1e-3,
         seed=args.seed,
     )
-    pipe = PriorPipe(cfg)
+    from eeg_image_decode_tpu.core.mesh import create_mesh
+
+    mesh = create_mesh() if getattr(args, "mesh", False) else None
+    pipe = PriorPipe(cfg, mesh=mesh)
     history = pipe.train(c_emb, h_emb)
     os.makedirs(args.output_dir, exist_ok=True)
     import pickle
@@ -230,7 +233,10 @@ def cmd_train_lowlevel(args):
         epochs=args.epochs or 200, batch_size=args.batch_size or 30,
         lr=args.lr or 1e-3,
     )
-    trainer = LowLevelTrainer(cfg)
+    from eeg_image_decode_tpu.core.mesh import create_mesh
+
+    mesh = create_mesh() if getattr(args, "mesh", False) else None
+    trainer = LowLevelTrainer(cfg, mesh=mesh)
     history = trainer.train(eeg, latents, seed=args.seed)
     print(json.dumps(history[-1]))
 
@@ -705,12 +711,17 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--eeg-features", required=True,
                    help=".npz with eeg_features + img_features")
+    p.add_argument("--mesh", action="store_true",
+                   help="data-parallel over all devices")
     p.set_defaults(fn=cmd_train_prior)
 
     p = sub.add_parser("train-lowlevel", help="EEG→VAE-latent training")
     _add_common(p)
     p.add_argument("--subjects", default="sub-08")
     p.add_argument("--latents", required=True, help=".npz with latents")
+    p.add_argument("--mesh", action="store_true",
+                   help="data-parallel over all devices (batch size must "
+                        "divide the device count)")
     p.set_defaults(fn=cmd_train_lowlevel)
 
     p = sub.add_parser("preprocess", help="raw → preprocessed epochs")

@@ -33,7 +33,14 @@ class LowLevelState(struct.PyTreeNode):
 
 class LowLevelTrainer:
     def __init__(self, cfg: LowLevelConfig = LowLevelConfig(), *,
-                 model: EncoderLowLevel | None = None):
+                 model: EncoderLowLevel | None = None, mesh=None):
+        """``mesh``: optional Mesh with a ``dp`` axis — batch indices shard,
+        state/data replicate, GSPMD inserts the grad all-reduce (and the
+        BatchNorm batch statistics stay global: the stat reductions are
+        logical over the full batch). batch_size must divide the dp size —
+        the reference's default 30 does not divide 8, so pick one that does
+        when training on a mesh."""
+        self.mesh = mesh
         self.cfg = cfg
         self.model = model or EncoderLowLevel(
             n_channels=cfg.n_channels,
@@ -92,13 +99,25 @@ class LowLevelTrainer:
                 {"loss": loss},
             )
 
-        @partial(jax.jit, donate_argnums=(0,))
         def epoch_fn(state, eeg_all, lat_all, perm):
             step = partial(train_step, eeg_all=eeg_all, lat_all=lat_all)
             state, metrics = jax.lax.scan(step, state, perm)
             return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
-        return epoch_fn
+        if self.mesh is None:
+            return jax.jit(epoch_fn, donate_argnums=(0,))
+        from eeg_image_decode_tpu.core.mesh import replicated_sharding
+
+        repl = replicated_sharding(self.mesh)
+        perm_sharding = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(None, "dp")
+        )
+        return jax.jit(
+            epoch_fn,
+            donate_argnums=(0,),
+            in_shardings=(repl, repl, repl, perm_sharding),
+            out_shardings=(repl, repl),
+        )
 
     def train(
         self,

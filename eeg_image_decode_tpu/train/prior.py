@@ -48,7 +48,13 @@ class PriorPipe:
         *,
         model: DiffusionPriorUNet | None = None,
         total_steps: int | None = None,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis —
+        training data-parallelizes by sharding each step's batch indices
+        (replicated state/data, GSPMD inserts the grad all-reduce), the same
+        scheme as the contrastive trainer."""
+        self.mesh = mesh
         self.cfg = cfg
         self.model = model or DiffusionPriorUNet(
             embed_dim=cfg.embed_dim,
@@ -133,13 +139,25 @@ class PriorPipe:
                 {"loss": loss},
             )
 
-        @partial(jax.jit, donate_argnums=(0,))
         def epoch_fn(state, c_all, h_all, perm, key):
             step = partial(train_step, c_all=c_all, h_all=h_all, base_key=key)
             state, metrics = jax.lax.scan(step, state, perm)
             return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
-        return epoch_fn
+        if self.mesh is None:
+            return jax.jit(epoch_fn, donate_argnums=(0,))
+        from eeg_image_decode_tpu.core.mesh import replicated_sharding
+
+        repl = replicated_sharding(self.mesh)
+        perm_sharding = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(None, "dp")
+        )
+        return jax.jit(
+            epoch_fn,
+            donate_argnums=(0,),
+            in_shardings=(repl, repl, repl, perm_sharding, repl),
+            out_shardings=(repl, repl),
+        )
 
     # — training —
     def train(

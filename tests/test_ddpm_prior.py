@@ -159,3 +159,29 @@ def test_prior_end_to_end_learns_conditional_mapping(rng):
     )
     # each sample most similar to its own target
     assert (np.argmax(sims, axis=1) == np.arange(n_cls)).mean() >= 0.75, sims
+
+
+def test_prior_training_mesh_matches_single_device(rng, mesh8):
+    """dp-sharded prior training (batch indices sharded, GSPMD grad
+    all-reduce) must produce the same state as single-device training."""
+    n, d = 128, 8
+    c = rng.normal(size=(n, d)).astype(np.float32)
+    h = rng.normal(size=(n, d)).astype(np.float32)
+    cfg = PriorConfig(
+        embed_dim=d, cond_dim=d, hidden_dims=(32, 16), time_embed_dim=8,
+        batch_size=32, epochs=3, lr=1e-3, warmup_steps=5, seed=1,
+    )
+    single = PriorPipe(cfg)
+    hist_s = single.train(c, h, log_fn=None)
+    sharded = PriorPipe(cfg, mesh=mesh8)
+    hist_m = sharded.train(c, h, log_fn=None)
+    np.testing.assert_allclose(
+        hist_m[-1]["loss"], hist_s[-1]["loss"], rtol=2e-4, atol=2e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(single.state.params),
+        jax.tree_util.tree_leaves(sharded.state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )

@@ -103,3 +103,49 @@ def test_reconstruction_metrics_suite(rng):
     )
     assert set(out) == {"pixcorr", "ssim", "2way_flat", "dist_flat"}
     assert out["pixcorr"] > 0.8 and out["2way_flat"] > 0.9
+
+
+def test_lowlevel_training_mesh_matches_single_device(rng, mesh8):
+    """dp-sharded low-level training must track single-device training.
+
+    Element-exact parity is not achievable here: the L1 subgradient is
+    sign(pred-target) and Adam's early steps are ~sign(g)·lr, so the 8-way
+    reduction-order noise flips signs of near-floor gradient elements and
+    produces lr-scale param deltas that are NOT sharding bugs. The robust
+    invariants: identical loss trajectory (catches wrong batch semantics /
+    missing grad sync) and params agreeing to a few lr-steps.
+    """
+    import jax
+
+    from eeg_image_decode_tpu.core.config import LowLevelConfig
+    from eeg_image_decode_tpu.train.lowlevel import LowLevelTrainer
+
+    eeg = rng.normal(size=(32, 63, 250)).astype(np.float32)
+    lat = (rng.normal(size=(32, 4, 64, 64)) * 0.1).astype(np.float32)
+    cfg = LowLevelConfig(epochs=3, batch_size=16, lr=1e-3, time_proj_dim=8)
+
+    def make():
+        return LowLevelTrainer(
+            cfg,
+            model=EncoderLowLevel(stage_channels=TINY_STAGES, time_proj_dim=8),
+        )
+
+    single = make()
+    h_s = single.train(eeg, lat, seed=3, log_fn=None)
+    sharded = make()
+    sharded.mesh = mesh8
+    h_m = sharded.train(eeg, lat, seed=3, log_fn=None)
+    np.testing.assert_allclose(
+        [h["loss"] for h in h_m], [h["loss"] for h in h_s], rtol=1e-2
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(
+            {"p": single.state.params, "bs": single.state.batch_stats}
+        ),
+        jax.tree_util.tree_leaves(
+            {"p": sharded.state.params, "bs": sharded.state.batch_stats}
+        ),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-2
+        )
