@@ -33,10 +33,20 @@ def _sinusoid_pe(n, d):
     return pe
 
 
-def _torch_atms_forward(sd, x_np, subject_id):
-    """Eval-mode reference forward in torch ops (no reference code reused)."""
-    t = {k: torch.tensor(np.asarray(v)) for k, v in sd.items()}
-    x = torch.tensor(x_np)  # (B, C, T)
+def _torch_atms_forward(sd, x_np, subject_id, *, training=False):
+    """Reference forward in torch ops (no reference code reused).
+
+    ``sd`` may hold numpy arrays (eval-only golden test) or live torch
+    tensors (the training-parity test passes its optimizer's parameters so
+    gradients flow and BatchNorm running stats update in place).
+    ``training=True`` switches BatchNorm to batch statistics (torch momentum
+    0.1 — the flax 0.9 convention mirrored).
+    """
+    t = {
+        k: v if torch.is_tensor(v) else torch.tensor(np.asarray(v))
+        for k, v in sd.items()
+    }
+    x = x_np if torch.is_tensor(x_np) else torch.tensor(x_np)  # (B, C, T)
     B = x.shape[0]
 
     # DataEmbedding: per-channel value embedding + positions + subject token
@@ -84,13 +94,13 @@ def _torch_atms_forward(sd, x_np, subject_id):
     h = F.batch_norm(h, t["enc_eeg.0.tsconv.2.running_mean"],
                      t["enc_eeg.0.tsconv.2.running_var"],
                      t["enc_eeg.0.tsconv.2.weight"],
-                     t["enc_eeg.0.tsconv.2.bias"], False, 0.0, 1e-5)
+                     t["enc_eeg.0.tsconv.2.bias"], training, 0.1, 1e-5)
     h = F.elu(h)
     h = F.conv2d(h, t["enc_eeg.0.tsconv.4.weight"], t["enc_eeg.0.tsconv.4.bias"])
     h = F.batch_norm(h, t["enc_eeg.0.tsconv.5.running_mean"],
                      t["enc_eeg.0.tsconv.5.running_var"],
                      t["enc_eeg.0.tsconv.5.weight"],
-                     t["enc_eeg.0.tsconv.5.bias"], False, 0.0, 1e-5)
+                     t["enc_eeg.0.tsconv.5.bias"], training, 0.1, 1e-5)
     h = F.elu(h)
     h = F.conv2d(h, t["enc_eeg.0.projection.0.weight"],
                  t["enc_eeg.0.projection.0.bias"])
@@ -103,7 +113,7 @@ def _torch_atms_forward(sd, x_np, subject_id):
                      t["proj_eeg.1.fn.1.weight"], t["proj_eeg.1.fn.1.bias"])
     z = F.layer_norm(z, (z.shape[-1],), t["proj_eeg.2.weight"],
                      t["proj_eeg.2.bias"], eps=1e-6)
-    return z.numpy()
+    return z if torch.is_tensor(x_np) else z.numpy()
 
 
 def test_atms_forward_matches_torch_oracle(rng):
