@@ -31,16 +31,21 @@ import jax
 import jax.numpy as jnp
 
 
-# batch-tile rows per grid step for the fused kernels (bf16 / fp32). Tuned on
-# v5e with scripts/bench_attention.py (flagship B=1024 fwd+bwd: bt=8 2.81 ms,
-# bt=16 2.52 ms, bt=32 2.87 ms, bt=64 2.47 ms — 16 taken: within noise of 64
-# at a quarter of the VMEM and compile time); fp32 halves the tile.
-BLOCK_BT_BF16 = 16
+# Batch-tile rows per grid step, tuned on v5e with scripts/bench_attention.py
+# per MODE: the training path (in-kernel PRNG dropout, fwd+bwd) wins at 16
+# (flagship B=1024 fwd+bwd: bt=8 2.81 ms, 16 2.52, 32 2.87, 64 2.47 — 16
+# taken, within noise of 64 at a quarter of the VMEM/compile), while the
+# dropout-free forward (eval feature extraction) REGRESSED at 16 (bench_all
+# eval row 405k → 326k samples/s) and keeps 8. fp32 halves the tile.
+BLOCK_BT_TRAIN_BF16 = 16
+BLOCK_BT_EVAL_BF16 = 8
 BLOCK_BT_FP32 = 4
 
 
-def _block_bt(dtype) -> int:
-    return BLOCK_BT_BF16 if dtype == jnp.bfloat16 else BLOCK_BT_FP32
+def _block_bt(dtype, training: bool) -> int:
+    if dtype != jnp.bfloat16:
+        return BLOCK_BT_FP32
+    return BLOCK_BT_TRAIN_BF16 if training else BLOCK_BT_EVAL_BF16
 
 
 def attention_layer_reference(x, params, masks=None, *, n_heads: int = 4):
@@ -227,11 +232,11 @@ def _attention_pallas(x, params, masks, n_heads: int, interpret: bool,
     from jax.experimental.pallas import tpu as pltpu
 
     B, L, D = x.shape
-    bt = _block_bt(x.dtype)
-    n_blocks = -(-B // bt)
-    pad = n_blocks * bt - B
     has_masks = masks is not None
     has_seed = dropout_p > 0.0 and seed is not None and not has_masks
+    bt = _block_bt(x.dtype, training=has_masks or has_seed)
+    n_blocks = -(-B // bt)
+    pad = n_blocks * bt - B
 
     def pad0(a):
         return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) if pad else a
@@ -542,7 +547,7 @@ def _attention_pallas_bwd(x, params, masks, g, n_heads: int, interpret: bool,
     from jax.experimental.pallas import tpu as pltpu
 
     B, L, D = x.shape
-    bt = _block_bt(x.dtype)
+    bt = _block_bt(x.dtype, training=True)
     n_blocks = -(-B // bt)
     pad = n_blocks * bt - B
     has_masks = masks is not None

@@ -176,15 +176,42 @@ def _bench_reconstruction():
     }))
 
 
-def main():
-    import jax
+BENCHES = {
+    "bs1024": lambda: _bench_train("bs1024_insubject", batch=1024,
+                                   joint=False, n_subjects=1),
+    "bs64": lambda: _bench_train("bs64_insubject", batch=64, joint=False,
+                                 n_subjects=1),
+    "joint": lambda: _bench_train("bs16_joint_2subj", batch=16, joint=True,
+                                  n_subjects=2),
+    "eval": _bench_eval,
+    "recon": _bench_reconstruction,
+}
 
-    jax.config.update("jax_default_prng_impl", "rbg")
-    _bench_train("bs1024_insubject", batch=1024, joint=False, n_subjects=1)
-    _bench_train("bs64_insubject", batch=64, joint=False, n_subjects=1)
-    _bench_train("bs16_joint_2subj", batch=16, joint=True, n_subjects=2)
-    _bench_eval()
-    _bench_reconstruction()
+
+def main():
+    # Each bench runs in its OWN subprocess: leftover HBM allocations and
+    # dispatch-queue state from earlier benches depress later rows measured
+    # in-process (the eval row read 326k samples/s after the training
+    # benches vs 6.2M standalone).
+    if len(sys.argv) > 1:
+        import jax
+
+        jax.config.update("jax_default_prng_impl", "rbg")
+        BENCHES[sys.argv[1]]()
+        return
+    import subprocess
+
+    for name in BENCHES:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), name],
+            capture_output=True, text=True, timeout=3000,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+        if proc.returncode != 0:
+            print(json.dumps({"metric": name, "error":
+                              proc.stderr.strip()[-400:]}), flush=True)
 
 
 if __name__ == "__main__":
