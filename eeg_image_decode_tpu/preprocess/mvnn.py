@@ -46,9 +46,9 @@ def ledoit_wolf_cov_batched(x: np.ndarray, chunk: int = 256) -> np.ndarray:
     """Batched :func:`ledoit_wolf_cov`: (N, n_samples, n_features) →
     (N, n_features, n_features). Batched BLAS gemms instead of a per-epoch
     Python loop, processed in chunks so the fp64 temporaries stay
-    cache-sized (~2 s for the full THINGS train session vs minutes for the
-    reference's per-epoch sklearn loop; tested equal to the scalar
-    version)."""
+    cache-sized (measured ~5x the reference's per-epoch sklearn loop on a
+    full THINGS train session — scripts/bench_preprocess.py; tested equal
+    to the scalar version)."""
     x = np.asarray(x)
     n_total, n, p = x.shape
     eye = np.eye(p)
@@ -89,8 +89,9 @@ def matrix_inverse_sqrt(sigma: np.ndarray, eps: float = 1e-12) -> np.ndarray:
 def session_covariance(epoched: np.ndarray) -> np.ndarray:
     """(conditions, reps, C, T) → (C, C): LW cov per epoch (channels over
     time samples), averaged over reps then conditions (ref ``:160-178``).
-    All epochs go through one batched LW (the reference's per-epoch
-    sklearn loop takes minutes; this takes ~0.1 s/session)."""
+    All epochs go through one batched LW (~0.7 s for a full train session
+    vs ~3 s for the reference's per-epoch sklearn loop — measured,
+    scripts/bench_preprocess.py)."""
     n_cond, n_rep, n_ch, t = epoched.shape
     x = epoched.reshape(n_cond * n_rep, n_ch, t).transpose(0, 2, 1)  # (N,T,C)
     covs = ledoit_wolf_cov_batched(x)
@@ -111,8 +112,15 @@ def mvnn_whiten(
 
         def whiten(x):
             # (..., C, T): apply on the channel axis — (XᵀΣ^{-1/2})ᵀ = Σ^{-1/2}X
-            # since Σ^{-1/2} is symmetric (the ref's swapaxes dance, :188-193)
-            return np.einsum("ij,...jt->...it", sigma_inv, x).astype(x.dtype)
+            # since Σ^{-1/2} is symmetric (the ref's swapaxes dance, :188-193).
+            # Batched np.matmul, NOT einsum: einsum serializes this contraction
+            # (~5.5 s/session vs 0.15 s — measured, scripts/bench_preprocess.py).
+            # The whitener applies in the data's dtype: promoting the epochs to
+            # fp64 costs GBs of temporaries for precision the fp32 output
+            # storage rounds away again (Σ^{-1/2} itself IS computed in fp64).
+            flat = x.reshape(-1, *x.shape[-2:])
+            out = np.matmul(sigma_inv.astype(x.dtype), flat).reshape(x.shape)
+            return out.astype(x.dtype)
 
         out_train.append(whiten(tr))
         out_test.append(whiten(te))
