@@ -71,3 +71,38 @@ def local_batch_size(global_batch: int, mesh: Mesh, data_axis: str = "dp") -> in
     if global_batch % dp != 0:
         raise ValueError(f"global batch {global_batch} not divisible by dp={dp}")
     return global_batch // dp
+
+
+def validate_dp_batch(
+    mesh: Mesh | None, batch_size: int, data_axis: str = "dp"
+) -> None:
+    """Fail fast (with a readable message) before jit raises an opaque GSPMD
+    sharding error on a batch that doesn't divide the dp axis."""
+    if mesh is None:
+        return
+    dp = mesh.shape.get(data_axis, 1)
+    if batch_size % dp != 0:
+        raise ValueError(
+            f"batch_size={batch_size} must divide the data-parallel axis "
+            f"({data_axis}={dp}) — pick a multiple of {dp}"
+        )
+
+
+def dp_epoch_jit(epoch_fn, mesh: Mesh, *, n_args: int, perm_index: int,
+                 donate=(0,), data_axis: str = "dp"):
+    """jit an epoch function under the trainers' shared dp scheme: every
+    argument replicated except the (n_steps, batch) index array at
+    ``perm_index``, which shards its batch dimension over ``data_axis``
+    (state and HBM-resident data replicate; GSPMD inserts the grad
+    all-reduce). Used by the contrastive, prior, and low-level trainers."""
+    repl = replicated_sharding(mesh)
+    perm = NamedSharding(mesh, P(None, data_axis))
+    in_shardings = tuple(
+        perm if i == perm_index else repl for i in range(n_args)
+    )
+    return jax.jit(
+        epoch_fn,
+        donate_argnums=donate,
+        in_shardings=in_shardings,
+        out_shardings=(repl, repl),
+    )

@@ -29,12 +29,16 @@ import numpy as np
 
 import jax
 
-from eeg_image_decode_tpu.data.native_loader import GatherPool
+from eeg_image_decode_tpu.data.native_loader import GatherPool, shared_pool
 
 
 class PrefetchLoader:
     """Iterate shuffled batches of a dict of host arrays, prefetching
-    ``buffer_size`` device batches ahead."""
+    ``buffer_size`` device batches ahead.
+
+    Gathers run on the process-wide shared native pool by default
+    (``gather_threads > 0`` builds a private pool, released by ``close()``).
+    """
 
     def __init__(
         self,
@@ -51,14 +55,26 @@ class PrefetchLoader:
         if len(n) != 1:
             raise ValueError(f"arrays disagree on length: { {k: len(v) for k, v in arrays.items()} }")
         self.n = n.pop()
-        self.arrays = {k: np.ascontiguousarray(v) for k, v in arrays.items()}
         self.batch_size = batch_size
         self.seed = seed
         self.drop_remainder = drop_remainder
         self.buffer_size = max(1, buffer_size)
         self.sharding = sharding
-        self._pool = GatherPool(gather_threads)
-        # staging slots cycle; slot s holds batch i where i % n_slots == s
+        self._own_pool = gather_threads > 0
+        self._pool = (
+            GatherPool(gather_threads) if self._own_pool else shared_pool()
+        )
+        # the native engine gathers raw rows — operands must be contiguous;
+        # the numpy fallback handles any layout in place
+        self.arrays = (
+            {k: np.ascontiguousarray(v) for k, v in arrays.items()}
+            if self._pool.is_native
+            else dict(arrays)
+        )
+        # staging slots cycle; slot s holds batch i where i % n_slots == s.
+        # In-flight bookkeeping lives on the INSTANCE (not the epoch
+        # generator) so a new epoch — or an abandoned one — first quiesces
+        # outstanding gathers/transfers before any slot is rewritten.
         self._n_slots = self.buffer_size + 1
         self._slots = [
             {
@@ -67,6 +83,8 @@ class PrefetchLoader:
             }
             for _ in range(self._n_slots)
         ]
+        self._pending: dict[int, list[int]] = {}
+        self._device_batches: dict[int, dict[str, jax.Array]] = {}
 
     @property
     def is_native(self) -> bool:
@@ -77,17 +95,30 @@ class PrefetchLoader:
             return self.n // self.batch_size
         return -(-self.n // self.batch_size)
 
+    def _quiesce(self) -> None:
+        """Wait out every outstanding gather and device transfer so the
+        staging slots are safe to rewrite (start of each epoch)."""
+        for tickets in self._pending.values():
+            for t in tickets:
+                self._pool.wait(t)
+        self._pending.clear()
+        for batch in self._device_batches.values():
+            for v in batch.values():
+                v.block_until_ready()
+        self._device_batches.clear()
+
     def close(self) -> None:
-        self._pool.close()
+        self._quiesce()
+        if self._own_pool:
+            self._pool.close()
 
     def epoch(self, epoch: int) -> Iterator[dict[str, jax.Array]]:
+        self._quiesce()
         rng = np.random.default_rng(self.seed * 100003 + epoch)
         perm = rng.permutation(self.n)
         n_batches = len(self)
-        # batch → (tickets, prior device batch whose transfer must finish
-        # before the slot's staging buffers can be overwritten)
-        pending: dict[int, list[int]] = {}
-        device_batches: dict[int, dict[str, jax.Array]] = {}
+        pending = self._pending
+        device_batches = self._device_batches
 
         def submit(i: int) -> None:
             slot = self._slots[i % self._n_slots]

@@ -181,6 +181,20 @@ class GatherPool:
             pass
 
 
+_shared_pool: GatherPool | None = None
+_shared_pool_lock = threading.Lock()
+
+
+def shared_pool() -> GatherPool:
+    """Process-wide gather pool. Loaders default to this so N loaders don't
+    spawn N × hardware_concurrency worker threads; it is never closed."""
+    global _shared_pool
+    with _shared_pool_lock:
+        if _shared_pool is None:
+            _shared_pool = GatherPool()
+        return _shared_pool
+
+
 class NpyMmap:
     """A ``.npy`` file as a zero-copy numpy view over mmap.
 

@@ -64,9 +64,10 @@ def extract_subject_id(sub: str) -> int:
     return int(m.group()) if m else -1
 
 
-#: mmap handles for sidecar caches, kept alive for the process lifetime so
-#: zero-copy views stay valid (bounded: one per subject/split actually read)
-_OPEN_MMAPS: list = []
+#: mmap handles for sidecar caches, keyed by path and kept alive for the
+#: process lifetime so zero-copy views stay valid — one mapping per file no
+#: matter how many times it is loaded (leave-one-out sweeps reload subjects)
+_OPEN_MMAPS: dict = {}
 
 
 def _load_subject_file(data_path: str, subject: str, train: bool) -> dict:
@@ -79,29 +80,46 @@ def _load_subject_file(data_path: str, subject: str, train: bool) -> dict:
     # a real .npy next to it; later loads mmap it zero-copy (native reader
     # with madvise readahead, data/native_loader.py) and page in lazily.
     cache_data = path + ".raw.npy"
-    cache_times = path + ".times.npy"
+    cache_meta = path + ".meta.npz"
     if (
         os.path.exists(cache_data)
-        and os.path.exists(cache_times)
+        and os.path.exists(cache_meta)
         and os.path.getmtime(cache_data) >= os.path.getmtime(path)
     ):
         from eeg_image_decode_tpu.data.native_loader import NpyMmap
 
-        m = NpyMmap(cache_data)
-        m.willneed()
-        _OPEN_MMAPS.append(m)
-        return {
-            "preprocessed_eeg_data": m.array,
-            "times": np.load(cache_times),
-        }
+        try:
+            m = _OPEN_MMAPS.get(cache_data)
+            if m is None:
+                m = NpyMmap(cache_data)
+                _OPEN_MMAPS[cache_data] = m
+            m.willneed()
+            with np.load(cache_meta, allow_pickle=True) as meta:
+                out = {k: meta[k] for k in meta.files}
+            out["ch_names"] = list(out.get("ch_names", np.asarray([])))
+            out["preprocessed_eeg_data"] = m.array
+            return out
+        except Exception:
+            # damaged/truncated cache (e.g. killed writer): fall back to the
+            # pickle and rewrite it below
+            _OPEN_MMAPS.pop(cache_data, None)
 
     raw = np.load(path, allow_pickle=True)
     # tolerate a 0-d object array from np.save(dict) too
     if isinstance(raw, np.ndarray):
         raw = raw.item()
     try:  # best effort — data dirs may be read-only
-        np.save(cache_data, np.asarray(raw["preprocessed_eeg_data"]))
-        np.save(cache_times, np.asarray(raw["times"]))
+        # write-to-temp + rename: a concurrent reader must never pass the
+        # mtime check and map a half-written cache
+        tmp = cache_data + ".tmp.npy"  # .npy suffix: np.save appends otherwise
+        np.save(tmp, np.asarray(raw["preprocessed_eeg_data"]))
+        np.savez(
+            cache_meta + ".tmp.npz",
+            times=np.asarray(raw["times"]),
+            ch_names=np.asarray(raw.get("ch_names", []), dtype=object),
+        )
+        os.replace(cache_meta + ".tmp.npz", cache_meta)
+        os.replace(tmp, cache_data)
     except OSError:
         pass
     return raw

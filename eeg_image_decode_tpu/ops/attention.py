@@ -35,8 +35,9 @@ import jax.numpy as jnp
 # per MODE: the training path (in-kernel PRNG dropout, fwd+bwd) wins at 16
 # (flagship B=1024 fwd+bwd: bt=8 2.81 ms, 16 2.52, 32 2.87, 64 2.47 — 16
 # taken, within noise of 64 at a quarter of the VMEM/compile), while the
-# dropout-free forward (eval feature extraction) REGRESSED at 16 (bench_all
-# eval row 405k → 326k samples/s) and keeps 8. fp32 halves the tile.
+# dropout-free forward (eval feature extraction) REGRESSED at 16 and keeps 8
+# (standalone isolated runs: 6.18M samples/s at 8 vs 4.45M at 16).
+# fp32 halves the tile.
 BLOCK_BT_TRAIN_BF16 = 16
 BLOCK_BT_EVAL_BF16 = 8
 BLOCK_BT_FP32 = 4

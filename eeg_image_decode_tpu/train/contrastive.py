@@ -182,19 +182,14 @@ def make_epoch_fn(
         state, metrics = jax.lax.scan(step, state, perm)
         return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
-    donate = (0,)
     if mesh is None:
-        return jax.jit(epoch_fn, donate_argnums=donate)
+        return jax.jit(epoch_fn, donate_argnums=(0,))
     # batch permutation sharded over dp → each device gathers its batch shard
-    perm_sharding = jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec(None, cfg.data_axis)
-    )
-    repl = replicated_sharding(mesh)
-    return jax.jit(
-        epoch_fn,
-        donate_argnums=donate,
-        in_shardings=(repl, repl, perm_sharding, repl),
-        out_shardings=(repl, repl),
+    from eeg_image_decode_tpu.core.mesh import dp_epoch_jit, validate_dp_batch
+
+    validate_dp_batch(mesh, cfg.batch_size, cfg.data_axis)
+    return dp_epoch_jit(
+        epoch_fn, mesh, n_args=4, perm_index=2, data_axis=cfg.data_axis
     )
 
 

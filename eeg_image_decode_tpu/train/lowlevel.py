@@ -106,18 +106,9 @@ class LowLevelTrainer:
 
         if self.mesh is None:
             return jax.jit(epoch_fn, donate_argnums=(0,))
-        from eeg_image_decode_tpu.core.mesh import replicated_sharding
+        from eeg_image_decode_tpu.core.mesh import dp_epoch_jit
 
-        repl = replicated_sharding(self.mesh)
-        perm_sharding = jax.sharding.NamedSharding(
-            self.mesh, jax.sharding.PartitionSpec(None, "dp")
-        )
-        return jax.jit(
-            epoch_fn,
-            donate_argnums=(0,),
-            in_shardings=(repl, repl, repl, perm_sharding),
-            out_shardings=(repl, repl),
-        )
+        return dp_epoch_jit(epoch_fn, self.mesh, n_args=4, perm_index=3)
 
     def train(
         self,
@@ -134,6 +125,9 @@ class LowLevelTrainer:
         cfg = self.cfg
         epochs = epochs or cfg.epochs
         batch_size = min(batch_size or cfg.batch_size, eeg.shape[0])
+        from eeg_image_decode_tpu.core.mesh import validate_dp_batch
+
+        validate_dp_batch(self.mesh, batch_size)
         if latents.ndim == 4 and latents.shape[1] == cfg.latent_shape[0]:
             latents = np.moveaxis(latents, 1, -1)
         n = eeg.shape[0]

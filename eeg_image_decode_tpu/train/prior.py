@@ -146,18 +146,9 @@ class PriorPipe:
 
         if self.mesh is None:
             return jax.jit(epoch_fn, donate_argnums=(0,))
-        from eeg_image_decode_tpu.core.mesh import replicated_sharding
+        from eeg_image_decode_tpu.core.mesh import dp_epoch_jit
 
-        repl = replicated_sharding(self.mesh)
-        perm_sharding = jax.sharding.NamedSharding(
-            self.mesh, jax.sharding.PartitionSpec(None, "dp")
-        )
-        return jax.jit(
-            epoch_fn,
-            donate_argnums=(0,),
-            in_shardings=(repl, repl, repl, perm_sharding, repl),
-            out_shardings=(repl, repl),
-        )
+        return dp_epoch_jit(epoch_fn, self.mesh, n_args=5, perm_index=3)
 
     # — training —
     def train(
@@ -174,6 +165,11 @@ class PriorPipe:
         batch_size = batch_size or cfg.batch_size
         n = c_embeddings.shape[0]
         batch_size = min(batch_size, n)
+        from eeg_image_decode_tpu.core.mesh import validate_dp_batch
+
+        # after the min() clamp — a small dataset can silently shrink a
+        # previously valid batch below dp divisibility
+        validate_dp_batch(self.mesh, batch_size)
         n_steps = max(n // batch_size, 1)
         if self.state is None:
             self.init(total_steps=n_steps * epochs)

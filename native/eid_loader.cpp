@@ -273,6 +273,22 @@ void* eid_npy_map(const char* path) {
     m->shape[m->ndim++] = std::strtoll(shape.c_str() + pos, nullptr, 10);
     while (pos < shape.size() && isdigit(shape[pos])) ++pos;
   }
+
+  // Reject files whose payload is shorter than the header promises (e.g. a
+  // concurrent writer's half-written cache): touching pages past EOF through
+  // the mapping would SIGBUS instead of raising a catchable Python error.
+  size_t itemsize = 0;
+  for (char ch : descr) {
+    if (isdigit(ch)) itemsize = itemsize * 10 + (ch - '0');
+  }
+  size_t n_elems = 1;
+  for (int i = 0; i < m->ndim; ++i) n_elems *= m->shape[i];
+  if (itemsize == 0 ||
+      header_off + header_len + n_elems * itemsize >
+          static_cast<size_t>(st.st_size)) {
+    delete m;
+    return fail();
+  }
   return m;
 }
 

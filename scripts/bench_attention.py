@@ -60,7 +60,7 @@ def main():
 
     bts = [int(a) for a in sys.argv[1:]] or [8, 16, 32, 64]
     for bt in bts:
-        A.BLOCK_BT_BF16 = bt
+        A.BLOCK_BT_TRAIN_BF16 = bt  # the seeded-dropout path below is 'training' mode
 
         def f(x, p):
             return jnp.sum(

@@ -155,3 +155,29 @@ def test_subject_file_sidecar_cache_roundtrip(rng, tmp_path):
     e2, l2 = load_things_eeg_subject(str(tmp_path), "sub-01", train=True)
     np.testing.assert_array_equal(e1, e2)
     np.testing.assert_array_equal(l1, l2)
+
+
+def test_subject_file_survives_corrupted_sidecar(rng, tmp_path):
+    """A truncated sidecar (killed writer) must fall back to the pickle and
+    heal the cache, not crash."""
+    import pickle
+
+    from eeg_image_decode_tpu.data.things_eeg import load_things_eeg_subject
+
+    sub = tmp_path / "sub-02"
+    sub.mkdir()
+    data = rng.normal(size=(40, 4, 63, 300)).astype(np.float32)
+    raw = {"preprocessed_eeg_data": data,
+           "times": np.linspace(-0.2, 1.0, 350), "ch_names": []}
+    p = sub / "preprocessed_eeg_training.npy"
+    with open(p, "wb") as f:
+        pickle.dump(raw, f, protocol=4)
+
+    e1, _ = load_things_eeg_subject(str(tmp_path), "sub-02", train=True)
+    cache = str(p) + ".raw.npy"
+    blob = open(cache, "rb").read()
+    with open(cache, "wb") as f:
+        f.write(blob[: len(blob) // 3])  # simulate a killed writer
+    os.utime(cache)  # still newer than the pickle
+    e2, _ = load_things_eeg_subject(str(tmp_path), "sub-02", train=True)
+    np.testing.assert_array_equal(e1, e2)

@@ -78,3 +78,52 @@ def test_npy_mmap_reads_numpy_file(rng, tmp_path):
         np.testing.assert_array_equal(np.asarray(m.array), arr)
         m.willneed()
         m.close()
+
+
+def test_npy_mmap_rejects_truncated_file(rng, tmp_path):
+    """A half-written cache (shorter than the header promises) must fail
+    through the catchable np.load fallback, not SIGBUS on first page touch."""
+    from eeg_image_decode_tpu.data.native_loader import NpyMmap
+
+    arr = rng.normal(size=(100, 64)).astype(np.float32)
+    p = str(tmp_path / "full.npy")
+    np.save(p, arr)
+    with open(p, "rb") as f:
+        blob = f.read()
+    t = str(tmp_path / "truncated.npy")
+    with open(t, "wb") as f:
+        f.write(blob[: len(blob) // 2])
+    # the native reader must refuse the short file; the numpy fallback then
+    # raises a normal Python exception at construction — never a SIGBUS
+    with pytest.raises(Exception):
+        NpyMmap(t)
+
+
+def test_shared_pool_reused_across_loaders():
+    from eeg_image_decode_tpu.data.native_loader import shared_pool
+
+    arrays = {"x": np.arange(40, dtype=np.float32).reshape(10, 4)}
+    l1 = PrefetchLoader(arrays, batch_size=5)
+    l2 = PrefetchLoader(arrays, batch_size=5)
+    assert l1._pool is l2._pool is shared_pool()
+    l1.close(); l2.close()  # must NOT kill the shared pool
+    l3 = PrefetchLoader(arrays, batch_size=5)
+    b = next(iter(l3.epoch(0)))
+    assert np.asarray(b["x"]).shape == (5, 4)
+    l3.close()
+
+
+def test_epoch_restart_quiesces_slots(rng):
+    """Starting a new epoch (or abandoning one mid-way) must not corrupt
+    batches via staging-slot reuse races."""
+    arrays = {"x": rng.normal(size=(64, 8)).astype(np.float32),
+              "y": np.arange(64, dtype=np.int32)}
+    loader = PrefetchLoader(arrays, batch_size=8, seed=5)
+    it = loader.epoch(0)
+    next(it); next(it)  # abandon mid-epoch with gathers in flight
+    perm = np.random.default_rng(5 * 100003 + 1).permutation(64)
+    for i, batch in enumerate(loader.epoch(1)):
+        idx = perm[i * 8 : (i + 1) * 8]
+        np.testing.assert_array_equal(np.asarray(batch["y"]), arrays["y"][idx])
+        np.testing.assert_array_equal(np.asarray(batch["x"]), arrays["x"][idx])
+    loader.close()
