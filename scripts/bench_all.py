@@ -176,9 +176,34 @@ def _bench_reconstruction():
     }))
 
 
+def _bench_prior():
+    """Diffusion-prior training throughput at the reference configuration
+    (batch 1024, 66160 pairs — ``Generation_metrics_sub8.ipynb`` cell 8)."""
+    import jax
+    import numpy as np
+
+    from eeg_image_decode_tpu.core.config import PriorConfig
+    from eeg_image_decode_tpu.train.prior import PriorPipe
+
+    rng = np.random.default_rng(0)
+    n = 66160
+    c = rng.normal(size=(n, 1024)).astype(np.float32)
+    h = rng.normal(size=(n, 1024)).astype(np.float32)
+    pipe = PriorPipe(PriorConfig(batch_size=1024))
+    hist = pipe.train(c, h, epochs=4, log_fn=None)
+    best = min(r["epoch_time_s"] for r in hist[1:])  # skip compile epoch
+    print(json.dumps({
+        "metric": "prior_train_throughput",
+        "value": round((n // 1024) * 1024 / best, 1),
+        "unit": "samples/s",
+        "config": {"batch": 1024, "n_samples": n, "params": "UNet-MLP"},
+    }))
+
+
 BENCHES = {
     "bs1024": lambda: _bench_train("bs1024_insubject", batch=1024,
                                    joint=False, n_subjects=1),
+    "prior": _bench_prior,
     "bs64": lambda: _bench_train("bs64_insubject", batch=64, joint=False,
                                  n_subjects=1),
     "joint": lambda: _bench_train("bs16_joint_2subj", batch=16, joint=True,
