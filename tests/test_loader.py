@@ -127,3 +127,38 @@ def test_epoch_restart_quiesces_slots(rng):
         np.testing.assert_array_equal(np.asarray(batch["y"]), arrays["y"][idx])
         np.testing.assert_array_equal(np.asarray(batch["x"]), arrays["x"][idx])
     loader.close()
+
+
+def test_native_gather_edge_cases(rng):
+    from eeg_image_decode_tpu.data.native_loader import GatherPool
+
+    pool = GatherPool()
+    src = rng.normal(size=(50, 9)).astype(np.float32)
+    # zero-length gather: the C++ path completes the ticket immediately
+    dst = np.empty((4, 9), np.float32)
+    t = pool.submit(src, np.asarray([], dtype=np.int64), dst)
+    pool.wait(t)
+    # dst larger than idx: only the first len(idx) rows are written
+    marker = np.full((4, 9), -1.0, np.float32)
+    idx = np.asarray([3, 7], np.int64)
+    pool.wait(pool.submit(src, idx, marker))
+    np.testing.assert_array_equal(marker[:2], src[idx])
+    np.testing.assert_array_equal(marker[2:], -1.0)
+    # non-contiguous source: submit takes a contiguous copy transparently
+    nc = src[:, ::3]
+    assert not nc.flags["C_CONTIGUOUS"]
+    out = pool.gather(nc, np.asarray([0, 5, 5], np.int64))
+    np.testing.assert_array_equal(out, nc[[0, 5, 5]])
+    pool.close()
+
+
+def test_npy_mmap_fortran_order_falls_back(rng, tmp_path):
+    from eeg_image_decode_tpu.data.native_loader import NpyMmap
+
+    arr = np.asfortranarray(rng.normal(size=(6, 8)).astype(np.float32))
+    p = str(tmp_path / "f.npy")
+    np.save(p, arr)
+    m = NpyMmap(p)
+    assert not m.is_native  # native reader only does C-contiguous
+    np.testing.assert_array_equal(np.asarray(m.array), arr)
+    m.close()
