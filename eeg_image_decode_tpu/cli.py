@@ -183,7 +183,8 @@ def cmd_train_retrieval(args):
         out = run_directory(args.output_dir, args.encoder, sub_tag, run_id)
     ckpt = Checkpointer(os.path.join(out, "ckpt"))
     trainer = ContrastiveTrainer(
-        model, cfg, train, test, mesh=mesh, output_dir=out, checkpointer=ckpt
+        model, cfg, train, test, mesh=mesh, output_dir=out, checkpointer=ckpt,
+        streaming=getattr(args, "streaming", False),
     )
     if args.resume_dir:
         start = trainer.resume()
@@ -684,6 +685,11 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("train-retrieval", help="contrastive retrieval training")
+    p.add_argument("--streaming", action="store_true",
+                   help="stream EEG batches from host RAM (native-gather "
+                        "loader) instead of keeping the dataset in HBM — "
+                        "for beyond-HBM datasets, e.g. all-subject joint "
+                        "training")
     _add_common(p)
     p.add_argument("--encoder", default="atms")
     p.add_argument("--subjects", default="sub-01")

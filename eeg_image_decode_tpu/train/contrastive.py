@@ -193,6 +193,84 @@ def make_epoch_fn(
     )
 
 
+def make_step_fn(
+    model: nn.Module,
+    tx: optax.GradientTransformation,
+    cfg: ContrastiveTrainConfig,
+    *,
+    mesh=None,
+) -> Callable:
+    """Jitted per-batch train step for STREAMING datasets (beyond-HBM, e.g.
+    all-10-subject joint training at ~42 GB fp32 — the reference streams
+    this through DataLoader workers, ``ATMS_retrieval_joint_train.py``).
+
+    The big EEG tensor stays on the host and arrives per batch (assembled by
+    ``data/loader.py``'s native gather pipeline); the small CLIP feature
+    tables stay HBM-resident and are gathered on device by index. Identical
+    math to the resident path — ``(state, batch, img_feat_all,
+    text_feat_all, class_img_feat, base_key) → (state, metrics)``.
+    """
+
+    def loss_fn(params, batch_stats, batch, dropout_key):
+        (feats, scale), updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["eeg"],
+            batch["subject_ids"],
+            deterministic=False,
+            rngs={"dropout": dropout_key},
+            mutable=["batch_stats"],
+        )
+        feats = feats.astype(jnp.float32)
+        if cfg.recon_loss:
+            loss = reconstruction_loss(
+                feats, batch["img_feat"], scale, alpha=cfg.recon_alpha
+            )
+        else:
+            loss = retrieval_loss(
+                feats, batch["img_feat"], batch["text_feat"], scale,
+                alpha=cfg.alpha,
+            )
+        return loss, (updates["batch_stats"], feats, scale)
+
+    def step(state, batch, img_feat_all, text_feat_all, class_img_feat,
+             base_key):
+        full = dict(batch)
+        full["img_feat"] = jnp.take(img_feat_all, batch["img_idx"], axis=0)
+        full["text_feat"] = jnp.take(
+            text_feat_all, batch["text_idx"], axis=0
+        )
+        dropout_key = jax.random.fold_in(base_key, state.step)
+        (loss, (new_bs, feats, scale)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, full, dropout_key)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        probe_logits = jnp.dot(
+            feats, class_img_feat.T, preferred_element_type=jnp.float32
+        )
+        acc = jnp.mean(
+            (jnp.argmax(probe_logits, axis=1) == batch["labels"]).astype(
+                jnp.float32
+            )
+        )
+        return new_state, {"loss": loss, "train_acc": acc}
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    repl = replicated_sharding(mesh)
+    return jax.jit(
+        step,
+        donate_argnums=(0,),
+        in_shardings=(repl, batch_sharding(mesh), repl, repl, repl, repl),
+        out_shardings=(repl, repl),
+    )
+
+
 def make_eval_features_fn(model: nn.Module, batch_size: int = 200) -> Callable:
     """Jitted eval-feature extractor over the (small) test set."""
 
@@ -224,14 +302,54 @@ class ContrastiveTrainer:
         mesh=None,
         output_dir: str | None = None,
         checkpointer=None,
+        streaming: bool = False,
     ):
+        """``streaming=True`` keeps the EEG tensor on the HOST and streams
+        batches through the native-gather ``PrefetchLoader`` — for datasets
+        beyond one chip's HBM (all-10-subject joint training ≈ 42 GB fp32;
+        the reference's DataLoader-workers case). Batch permutations, RNG
+        keys, and math are identical to the HBM-resident path, so the two
+        modes produce the same training trajectory (tested)."""
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
         self.output_dir = output_dir
         self.checkpointer = checkpointer
         self.train_host = train_data
-        self.data = DeviceData.from_host(train_data, mesh)
+        self.streaming = streaming
+        if streaming:
+            from eeg_image_decode_tpu.core.mesh import batch_sharding
+            from eeg_image_decode_tpu.data.loader import PrefetchLoader
+
+            n = train_data.n
+            local = np.arange(n, dtype=np.int32)
+            self.loader = PrefetchLoader(
+                {
+                    "eeg": np.asarray(train_data.eeg, np.float32),
+                    "subject_ids": np.asarray(
+                        train_data.subject_ids, np.int32
+                    ),
+                    "img_idx": np.asarray(train_data.img_idx, np.int32),
+                    "text_idx": np.asarray(train_data.text_idx, np.int32),
+                    "labels": np.asarray(train_data.labels, np.int32),
+                },
+                cfg.batch_size,
+                seed=cfg.seed,
+                sharding=batch_sharding(mesh) if mesh is not None else None,
+            )
+            put = (
+                (lambda x: jax.device_put(x, replicated_sharding(mesh)))
+                if mesh is not None
+                else jax.device_put
+            )
+            self.img_feat = put(jnp.asarray(train_data.img_features))
+            self.text_feat = put(jnp.asarray(train_data.text_features))
+            self.class_img_feat = put(
+                jnp.asarray(train_data.class_img_features())
+            )
+            self.data = None
+        else:
+            self.data = DeviceData.from_host(train_data, mesh)
         self.test_eeg = jax.device_put(test_data.eeg)
         self.test_subject_ids = jax.device_put(test_data.subject_ids)
         self.test_labels = jax.device_put(test_data.labels)
@@ -242,7 +360,10 @@ class ContrastiveTrainer:
         self.state, self.tx = create_train_state(
             model, cfg, jnp.asarray(sample), jnp.asarray(sids)
         )
-        self.epoch_fn = make_epoch_fn(model, self.tx, cfg, mesh=mesh)
+        if streaming:
+            self.step_fn = make_step_fn(model, self.tx, cfg, mesh=mesh)
+        else:
+            self.epoch_fn = make_epoch_fn(model, self.tx, cfg, mesh=mesh)
         self.eval_fn = make_eval_features_fn(model)
         self.history: list[dict] = []
         self.start_epoch = 0
@@ -289,13 +410,35 @@ class ContrastiveTrainer:
         return perm.astype(np.int32)
 
     def train_epoch(self, epoch: int) -> dict:
-        perm = jnp.asarray(self._epoch_perm(epoch))
         key = jax.random.key(self.cfg.seed + 7919 * epoch)
         t0 = time.perf_counter()
-        self.state, metrics = self.epoch_fn(self.state, self.data, perm, key)
-        metrics = jax.tree_util.tree_map(float, jax.device_get(metrics))
+        if self.streaming:
+            # PrefetchLoader permutes with the same (seed, epoch) formula as
+            # _epoch_perm, so both modes see identical batches in order
+            rows = []
+            n = 0
+            for batch in self.loader.epoch(epoch):
+                self.state, m = self.step_fn(
+                    self.state, batch, self.img_feat, self.text_feat,
+                    self.class_img_feat, key,
+                )
+                rows.append(m)
+                n += self.cfg.batch_size
+            metrics = jax.tree_util.tree_map(
+                lambda *xs: float(np.mean([jax.device_get(x) for x in xs])),
+                *rows,
+            )
+        else:
+            perm = jnp.asarray(self._epoch_perm(epoch))
+            self.state, metrics = self.epoch_fn(
+                self.state, self.data, perm, key
+            )
+            metrics = jax.tree_util.tree_map(
+                float, jax.device_get(metrics)
+            )
+            n = perm.size
         metrics["epoch_time_s"] = time.perf_counter() - t0
-        metrics["samples_per_s"] = perm.size / metrics["epoch_time_s"]
+        metrics["samples_per_s"] = n / metrics["epoch_time_s"]
         return metrics
 
     def evaluate(self, epoch: int = 0) -> dict:

@@ -160,3 +160,53 @@ def test_fit_aborts_on_nonfinite_loss():
     )
     with pytest.raises(FloatingPointError, match="non-finite"):
         trainer.fit(log_fn=None)
+
+
+def test_streaming_trainer_matches_resident(rng):
+    """The streaming (host-EEG + native-gather loader) trainer must produce
+    the same trajectory as the HBM-resident scan trainer: identical batch
+    permutations ((seed, epoch)-derived), identical dropout keys (fold_in on
+    state.step), identical math."""
+    from eeg_image_decode_tpu.core.config import ATMSConfig
+    from eeg_image_decode_tpu.models import build_encoder
+
+    train, test = make_synthetic_retrieval_data(
+        n_classes=8, images_per_class=2, train_reps=2, n_timepoints=64,
+        clip_dim=32,
+    )
+    cfg = ContrastiveTrainConfig(
+        batch_size=16, epochs=3, lr=1e-3, eval_ks=(8,), seed=11
+    )
+
+    def make(streaming):
+        model = build_encoder(
+            "atms",
+            config=ATMSConfig(seq_len=64, d_model=64, pool_size=16,
+                              pool_stride=4, temporal_kernel=9, proj_dim=32),
+        )
+        return ContrastiveTrainer(
+            model, cfg, train, test, streaming=streaming
+        )
+
+    resident = make(False)
+    h_r = resident.fit(log_fn=None)
+    streaming = make(True)
+    h_s = streaming.fit(log_fn=None)
+    streaming.loader.close()
+
+    # losses/accuracy pin the semantics (identical batches, keys, math);
+    # element-exact params are NOT expected — the scan-epoch and per-step
+    # programs compile differently, and Adam's early steps are ~sign(g)·lr,
+    # so fp32 rounding differences turn into lr-scale param deltas
+    for a, b in zip(h_r, h_s):
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-5)
+        np.testing.assert_allclose(a["train_acc"], b["train_acc"], atol=1e-6)
+    n_steps = 3 * (train.n // cfg.batch_size)
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(resident.state.params),
+        jax.tree_util.tree_leaves(streaming.state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb),
+            atol=2 * n_steps * cfg.lr, rtol=0.5,
+        )
