@@ -493,6 +493,10 @@ class ContrastiveTrainer:
         if self.checkpointer is not None and epochs > self.start_epoch:
             if self.checkpointer.latest_step() != epochs:
                 self.checkpointer.save(epochs, self.state)  # final state
+            # saves are async — block until they are durable, or a process
+            # that exits (or resumes) right after fit() can find no
+            # finalized checkpoint (observed as a flake under host load)
+            self.checkpointer.manager.wait_until_finished()
         if self.output_dir:
             try:
                 from eeg_image_decode_tpu.utils.plotting import (
