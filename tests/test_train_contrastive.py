@@ -210,3 +210,28 @@ def test_streaming_trainer_matches_resident(rng):
             np.asarray(pa), np.asarray(pb),
             atol=2 * n_steps * cfg.lr, rtol=0.5,
         )
+
+
+def test_streaming_trainer_on_mesh(mesh8):
+    """Streaming mode composes with dp sharding: batches arrive batch-sharded
+    from the loader and the loss trajectory falls."""
+    from eeg_image_decode_tpu.core.config import ATMSConfig
+    from eeg_image_decode_tpu.models import build_encoder
+
+    train, test = make_synthetic_retrieval_data(
+        n_classes=8, images_per_class=2, train_reps=2, n_timepoints=64,
+        clip_dim=32,
+    )
+    cfg = ContrastiveTrainConfig(
+        batch_size=16, epochs=3, lr=1e-3, eval_ks=(8,), seed=2
+    )
+    model = build_encoder(
+        "atms",
+        config=ATMSConfig(seq_len=64, d_model=64, pool_size=16,
+                          pool_stride=4, temporal_kernel=9, proj_dim=32),
+    )
+    tr = ContrastiveTrainer(model, cfg, train, test, mesh=mesh8,
+                            streaming=True)
+    h = tr.fit(log_fn=None)
+    tr.loader.close()
+    assert h[-1]["loss"] < h[0]["loss"]
