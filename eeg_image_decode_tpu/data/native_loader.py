@@ -140,8 +140,20 @@ class GatherPool:
             return 0
         src = np.ascontiguousarray(src)
         idx64 = np.ascontiguousarray(idx, dtype=np.int64)
-        assert dst.flags["C_CONTIGUOUS"] and dst.dtype == src.dtype
-        assert dst.shape[1:] == src.shape[1:] and len(dst) >= n
+        # explicit checks, not asserts: these guard a raw native memcpy —
+        # under `python -O` an assert would vanish and a mismatched dst
+        # would silently corrupt training batches
+        if not dst.flags["C_CONTIGUOUS"]:
+            raise ValueError("gather dst must be C-contiguous")
+        if dst.dtype != src.dtype:
+            raise ValueError(
+                f"gather dst dtype {dst.dtype} != src dtype {src.dtype}"
+            )
+        if dst.shape[1:] != src.shape[1:] or len(dst) < n:
+            raise ValueError(
+                f"gather dst shape {dst.shape} incompatible with src "
+                f"{src.shape} for {n} rows"
+            )
         row_bytes = src.dtype.itemsize * int(
             np.prod(src.shape[1:], dtype=np.int64)
         )

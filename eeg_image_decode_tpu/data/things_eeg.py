@@ -101,8 +101,14 @@ def _load_subject_file(data_path: str, subject: str, train: bool) -> dict:
             return out
         except Exception:
             # damaged/truncated cache (e.g. killed writer): fall back to the
-            # pickle and rewrite it below
-            _OPEN_MMAPS.pop(cache_data, None)
+            # pickle and rewrite it below; close the failed mapping so its
+            # fd doesn't leak until GC
+            m = _OPEN_MMAPS.pop(cache_data, None)
+            if m is not None:
+                try:
+                    m.close()
+                except Exception:
+                    pass
 
     raw = np.load(path, allow_pickle=True)
     # tolerate a 0-d object array from np.save(dict) too

@@ -105,20 +105,36 @@ class ReconstructionService:
         *,
         seed: int = 0,
     ) -> np.ndarray:
-        """(B, C, T) EEG → (B, H, W, 3) images in [0, 1]."""
+        """(B, C, T) EEG → (B, H, W, 3) images in [0, 1].
+
+        Requests are chunked into ``max_batch``-sized pieces (the last one
+        padded up), so every encoder/prior/UNet call runs at exactly one
+        compiled shape — an oversized request costs extra chunks, never a
+        fresh jit trace of the SDXL graph."""
         eeg = np.asarray(eeg, np.float32)
         if np.isscalar(subject_ids):
             subject_ids = np.full(eeg.shape[0], subject_ids)
+        subject_ids = np.asarray(subject_ids, np.int32)
         n = eeg.shape[0]
-        pad = self.max_batch - (n % self.max_batch or self.max_batch)
-        eeg_p = np.pad(eeg, ((0, pad), (0, 0), (0, 0)))
-        sid_p = np.pad(np.asarray(subject_ids, np.int32), (0, pad))
-        feats = self._encode(
-            self.variables, jnp.asarray(eeg_p), jnp.asarray(sid_p)
-        )
-        embeds = self.prior.generate(feats, key=jax.random.key(seed))
-        imgs = self.generator.generate(embeds, key=jax.random.key(seed + 1))
-        return np.asarray(imgs)[:n]
+        out = []
+        for start in range(0, n, self.max_batch):
+            chunk = eeg[start : start + self.max_batch]
+            sids = subject_ids[start : start + self.max_batch]
+            m = chunk.shape[0]
+            pad = self.max_batch - m
+            eeg_p = np.pad(chunk, ((0, pad), (0, 0), (0, 0)))
+            sid_p = np.pad(sids, (0, pad))
+            feats = self._encode(
+                self.variables, jnp.asarray(eeg_p), jnp.asarray(sid_p)
+            )
+            embeds = self.prior.generate(
+                feats, key=jax.random.key(seed + 2 * start)
+            )
+            imgs = self.generator.generate(
+                embeds, key=jax.random.key(seed + 2 * start + 1)
+            )
+            out.append(np.asarray(imgs)[:m])
+        return np.concatenate(out, axis=0)
 
 
 class CaptionService:

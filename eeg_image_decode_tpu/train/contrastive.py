@@ -262,6 +262,9 @@ def make_step_fn(
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
+    from eeg_image_decode_tpu.core.mesh import validate_dp_batch
+
+    validate_dp_batch(mesh, cfg.batch_size, cfg.data_axis)
     repl = replicated_sharding(mesh)
     return jax.jit(
         step,
@@ -321,8 +324,13 @@ class ContrastiveTrainer:
             from eeg_image_decode_tpu.core.mesh import batch_sharding
             from eeg_image_decode_tpu.data.loader import PrefetchLoader
 
-            n = train_data.n
-            local = np.arange(n, dtype=np.int32)
+            if train_data.n < cfg.batch_size:
+                raise ValueError(
+                    f"streaming mode drops the ragged final batch, so a "
+                    f"dataset of n={train_data.n} samples yields ZERO "
+                    f"batches at batch_size={cfg.batch_size}; lower "
+                    f"batch_size to at most n"
+                )
             self.loader = PrefetchLoader(
                 {
                     "eeg": np.asarray(train_data.eeg, np.float32),

@@ -69,6 +69,38 @@ def test_reconstruction_service_chain():
     assert imgs.min() >= 0 and imgs.max() <= 1
 
 
+def test_reconstruction_service_chunks_oversized_requests():
+    """A request of 2.5× max_batch must be served by chunking at the single
+    compiled shape — no new jit trace per distinct padded size (the round-2
+    behavior padded to the next multiple of max_batch and retraced the whole
+    SDXL graph per size)."""
+    model, trainer, train, test = _trained()
+    prior = PriorPipe(PriorConfig(
+        embed_dim=64, cond_dim=64, hidden_dims=(32, 16), time_embed_dim=16,
+        epochs=2, batch_size=16, warmup_steps=2, num_inference_steps=3,
+        guidance_scale=2.0,
+    ))
+    prior.init(total_steps=1)
+    gen = Generator4Embeds(GeneratorConfig.tiny(), dtype=jnp.float32)
+    gen.init(jax.random.key(0))
+    svc = ReconstructionService(
+        model,
+        {"params": trainer.state.params,
+         "batch_stats": trainer.state.batch_stats},
+        prior, gen, max_batch=4,
+    )
+    # warm the compiled shape with an in-budget request
+    first = svc.reconstruct(test.eeg[:2], test.subject_ids[:2])
+    traces_after_warm = svc._encode._cache_size()
+    # 10 = 2.5 × max_batch → 3 chunks (4, 4, 2-padded-to-4)
+    imgs = svc.reconstruct(test.eeg[:10], test.subject_ids[:10])
+    assert imgs.shape == (10, 16, 16, 3)
+    assert svc._encode._cache_size() == traces_after_warm == 1
+    # chunking must not change per-sample results vs a small request
+    # (same chunk-relative seed → first chunk identical)
+    np.testing.assert_allclose(imgs[:2], first, rtol=1e-5, atol=1e-5)
+
+
 def test_caption_service_chain():
     """EEG → encoder → prior → PixelProjector → GIT greedy → strings, with
     the padded fixed batch (n=3 on max_batch=4)."""
