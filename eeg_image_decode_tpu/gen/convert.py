@@ -9,9 +9,16 @@ SDXL-turbo weights run in the jitted TPU sampling loop.
 
 Conventions: torch Linear (out,in)→(in,out); Conv (O,I,kH,kW)→HWIO;
 GroupNorm weight/bias→scale/bias. GEGLU split order (hidden‖gate) matches
-diffusers. Cross-attention order for the IP-Adapter list follows the UNet
-traversal: down blocks (stage-major), mid, then up blocks — the same order
-diffusers' ``unet.attn_processors`` enumerates.
+diffusers. The IP-Adapter checkpoint (``ip_adapter.{idx}.to_{k,v}_ip.weight``)
+is indexed by the saved ``ModuleList(unet.attn_processors.values())``
+position: attn1 processors carry no params, so the surviving indices are the
+odd ones (1, 3, …, 139 for SDXL), and the enumeration order is module
+REGISTRATION order — ``down_blocks``, ``up_blocks``, then ``mid_block``
+(both ModuleLists are created before ``mid_block`` is assigned in
+``UNet2DConditionModel.__init__``). We consume entries sorted by index and
+assign them in that down→up→mid order; each entry's shape is checked against
+its target cross-attention so a mis-ordered checkpoint fails loudly instead
+of silently loading transposed-stage weights.
 """
 
 from __future__ import annotations
@@ -59,9 +66,9 @@ def _resnet(sd, p):
     return out
 
 
-def _attn_block(sd, p, ip_weights: dict | None):
-    """One BasicTransformerBlock; ``ip_weights`` holds to_k_ip/to_v_ip for
-    attn2 when the checkpoint carries an IP-Adapter."""
+def _attn_block(sd, p):
+    """One BasicTransformerBlock (IP-Adapter K/V injected afterwards in
+    checkpoint-index order — see :func:`_inject_ip_adapter`)."""
     out = {
         "norm1": _norm(sd, f"{p}.norm1"),
         "attn1": {
@@ -83,22 +90,76 @@ def _attn_block(sd, p, ip_weights: dict | None):
             "proj_out": _lin(sd, f"{p}.ff.net.2"),
         },
     }
-    if ip_weights is not None:
-        out["attn2"]["ip_to_k"] = {"kernel": _t(ip_weights["to_k_ip.weight"])}
-        out["attn2"]["ip_to_v"] = {"kernel": _t(ip_weights["to_v_ip.weight"])}
     return out
 
 
-def _spatial_transformer(sd, p, n_layers, ip_iter):
+def _spatial_transformer(sd, p, n_layers):
     out = {
         "norm": _norm(sd, f"{p}.norm"),
         "proj_in": _lin(sd, f"{p}.proj_in"),
         "proj_out": _lin(sd, f"{p}.proj_out"),
     }
     for k in range(n_layers):
-        ip = next(ip_iter) if ip_iter is not None else None
-        out[f"block_{k}"] = _attn_block(sd, f"{p}.transformer_blocks.{k}", ip)
+        out[f"block_{k}"] = _attn_block(sd, f"{p}.transformer_blocks.{k}")
     return out
+
+
+def _iter_attn2(params: dict, cfg: SDXLUNetConfig):
+    """Yield every cross-attention ("attn2") param dict in the order
+    diffusers' ``unet.attn_processors`` enumerates — down_blocks, up_blocks,
+    then mid_block (module REGISTRATION order: both block ModuleLists are
+    created before ``mid_block`` is assigned). The IP-Adapter checkpoint's
+    sequential indices follow this order, NOT spatial traversal order."""
+    n_stages = len(cfg.block_out_channels)
+    for i in range(n_stages):
+        depth = cfg.transformer_layers_per_block[i]
+        for j in range(cfg.layers_per_block):
+            for k in range(depth):
+                yield params[f"down_{i}_attn_{j}"][f"block_{k}"]["attn2"]
+    for idx, i in enumerate(reversed(range(n_stages))):
+        depth = cfg.transformer_layers_per_block[i]
+        for j in range(cfg.layers_per_block + 1):
+            for k in range(depth):
+                yield params[f"up_{idx}_attn_{j}"][f"block_{k}"]["attn2"]
+    for k in range(cfg.transformer_layers_per_block[-1]):
+        yield params["mid_attn"][f"block_{k}"]["attn2"]
+
+
+def _inject_ip_adapter(params: dict, cfg: SDXLUNetConfig, ip_sd: dict) -> None:
+    """Install ``ip_adapter.{idx}.to_{k,v}_ip`` weights (sorted by the
+    checkpoint's numeric index — odd 1,3,…,139 in the real sdxl_vit-h file,
+    since attn1 processors are param-free ModuleList slots) into the attn2
+    blocks, and the ``image_proj`` head at the tree root."""
+    idxs = sorted({
+        int(k.split(".")[1]) for k in ip_sd if k.startswith("ip_adapter.")
+    })
+    blocks = list(_iter_attn2(params, cfg))
+    if len(idxs) != len(blocks):
+        raise ValueError(
+            f"IP-Adapter checkpoint has {len(idxs)} cross-attn entries but "
+            f"the UNet config defines {len(blocks)} cross-attentions"
+        )
+    for i, blk in zip(idxs, blocks):
+        k_ip = _t(ip_sd[f"ip_adapter.{i}.to_k_ip.weight"])
+        v_ip = _t(ip_sd[f"ip_adapter.{i}.to_v_ip.weight"])
+        want = blk["to_k"]["kernel"].shape
+        if k_ip.shape != want or v_ip.shape != want:
+            raise ValueError(
+                f"IP-Adapter entry {i}: K/V shape {k_ip.shape} does not "
+                f"match its cross-attention {want} — checkpoint/config "
+                f"enumeration-order mismatch"
+            )
+        blk["ip_to_k"] = {"kernel": k_ip}
+        blk["ip_to_v"] = {"kernel": v_ip}
+    # image projection head: Linear (embed → tokens·dim) + LayerNorm
+    params["ip_image_proj"] = {
+        "kernel": _t(ip_sd["image_proj.proj.weight"]),
+        "bias": np.asarray(ip_sd["image_proj.proj.bias"]),
+    }
+    params["ip_norm"] = {
+        "scale": np.asarray(ip_sd["image_proj.norm.weight"]),
+        "bias": np.asarray(ip_sd["image_proj.norm.bias"]),
+    }
 
 
 def convert_sdxl_unet(
@@ -107,7 +168,8 @@ def convert_sdxl_unet(
     ip_adapter_sd: dict | None = None,
 ) -> dict:
     """UNet2DConditionModel state dict (+ optional IP-Adapter dict with
-    ``image_proj.*`` and ``ip_adapter.{i}.to_{k,v}_ip.weight``) → flax params."""
+    ``image_proj.*`` and ``ip_adapter.{idx}.to_{k,v}_ip.weight``, the real
+    checkpoint's odd ModuleList indices) → flax params."""
     sd = {k: np.asarray(v) for k, v in sd.items()}
     params: dict = {
         "conv_in": _conv(sd, "conv_in"),
@@ -119,29 +181,6 @@ def convert_sdxl_unet(
         "conv_out": _conv(sd, "conv_out"),
     }
 
-    ip_iter = None
-    if ip_adapter_sd is not None:
-        ip_adapter_sd = {k: np.asarray(v) for k, v in ip_adapter_sd.items()}
-        n_ip = len({k.split(".")[1] for k in ip_adapter_sd
-                    if k.startswith("ip_adapter.")})
-        ip_list = [
-            {
-                "to_k_ip.weight": ip_adapter_sd[f"ip_adapter.{i}.to_k_ip.weight"],
-                "to_v_ip.weight": ip_adapter_sd[f"ip_adapter.{i}.to_v_ip.weight"],
-            }
-            for i in range(n_ip)
-        ]
-        ip_iter = iter(ip_list)
-        # image projection head: Linear (embed → tokens·dim) + LayerNorm
-        params["ip_image_proj"] = {
-            "kernel": _t(ip_adapter_sd["image_proj.proj.weight"]),
-            "bias": ip_adapter_sd["image_proj.proj.bias"],
-        }
-        params["ip_norm"] = {
-            "scale": ip_adapter_sd["image_proj.norm.weight"],
-            "bias": ip_adapter_sd["image_proj.norm.bias"],
-        }
-
     n_stages = len(cfg.block_out_channels)
     for i in range(n_stages):
         depth = cfg.transformer_layers_per_block[i]
@@ -150,7 +189,7 @@ def convert_sdxl_unet(
                 sd, f"down_blocks.{i}.resnets.{j}")
             if depth > 0:
                 params[f"down_{i}_attn_{j}"] = _spatial_transformer(
-                    sd, f"down_blocks.{i}.attentions.{j}", depth, ip_iter)
+                    sd, f"down_blocks.{i}.attentions.{j}", depth)
         if i < n_stages - 1:
             params[f"down_{i}_downsample"] = _conv(
                 sd, f"down_blocks.{i}.downsamplers.0.conv")
@@ -159,7 +198,7 @@ def convert_sdxl_unet(
     params["mid_res_0"] = _resnet(sd, "mid_block.resnets.0")
     if mid_depth > 0:
         params["mid_attn"] = _spatial_transformer(
-            sd, "mid_block.attentions.0", mid_depth, ip_iter)
+            sd, "mid_block.attentions.0", mid_depth)
     params["mid_res_1"] = _resnet(sd, "mid_block.resnets.1")
 
     for idx, i in enumerate(reversed(range(n_stages))):
@@ -169,10 +208,15 @@ def convert_sdxl_unet(
                 sd, f"up_blocks.{idx}.resnets.{j}")
             if depth > 0:
                 params[f"up_{idx}_attn_{j}"] = _spatial_transformer(
-                    sd, f"up_blocks.{idx}.attentions.{j}", depth, ip_iter)
+                    sd, f"up_blocks.{idx}.attentions.{j}", depth)
         if i > 0:
             params[f"up_{idx}_upsample"] = _conv(
                 sd, f"up_blocks.{idx}.upsamplers.0.conv")
+
+    if ip_adapter_sd is not None:
+        _inject_ip_adapter(
+            params, cfg, {k: np.asarray(v) for k, v in ip_adapter_sd.items()}
+        )
 
     return params
 

@@ -44,6 +44,14 @@ class CLIPVisionConfig:
                                 embed_dim=768, act="quick_gelu")
 
     @staticmethod
+    def git_vit_l_14() -> "CLIPVisionConfig":
+        """GIT's ``git.image_encoder`` (CLIPVisionModel, no projection head):
+        the grid consumer never uses ``proj``, so embed_dim == width and the
+        converter fills an identity."""
+        return CLIPVisionConfig(width=1024, layers=24, heads=16,
+                                embed_dim=1024, act="quick_gelu")
+
+    @staticmethod
     def tiny(act: str = "gelu") -> "CLIPVisionConfig":
         return CLIPVisionConfig(image_size=32, patch_size=8, width=64,
                                 layers=2, heads=2, embed_dim=32, act=act)

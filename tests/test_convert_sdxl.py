@@ -145,9 +145,10 @@ def test_unet_converter_roundtrip():
     ip_sd["image_proj.proj.bias"] = np.asarray(params["ip_image_proj"]["bias"])
     ip_sd["image_proj.norm.weight"] = np.asarray(params["ip_norm"]["scale"])
     ip_sd["image_proj.norm.bias"] = np.asarray(params["ip_norm"]["bias"])
-    # traversal order: down stages, mid, up stages — blocks within
+    # checkpoint enumeration order: down blocks, up blocks, mid (module
+    # registration order, the order the real file's indices follow)
     order = []
-    for key in ["down_1_attn_0", "mid_attn", "up_0_attn_0", "up_0_attn_1"]:
+    for key in ["down_1_attn_0", "up_0_attn_0", "up_0_attn_1", "mid_attn"]:
         if key in params:
             st = params[key]
             for k in sorted(b for b in st if b.startswith("block_")):

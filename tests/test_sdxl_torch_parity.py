@@ -261,7 +261,10 @@ class TTinySDXLUNet(tnn.Module):
 
 
 def _ip_adapter_sd(cfg, seed):
-    """IP-Adapter checkpoint dict: image_proj head + per-cross-attn K/V."""
+    """IP-Adapter checkpoint dict: image_proj head + per-cross-attn K/V.
+    Real files index entries by ModuleList(attn_processors.values()) slot —
+    attn1 processors are param-free, so the indices are odd (1, 3, 5, …) and
+    the order is module registration order: down_blocks, up_blocks, mid."""
     g = torch.Generator().manual_seed(seed)
     inner = max(cfg.block_out_channels[1] // cfg.attention_head_dim, 1) \
         * cfg.attention_head_dim
@@ -276,7 +279,7 @@ def _ip_adapter_sd(cfg, seed):
         "image_proj.norm.bias": torch.randn(
             cfg.cross_attention_dim, generator=g) * 0.1,
     }
-    for i in range(4):  # down1, mid, up0_attn0, up0_attn1
+    for i in (1, 3, 5, 7):  # down1, up0_attn0, up0_attn1, mid
         sd[f"ip_adapter.{i}.to_k_ip.weight"] = torch.randn(
             inner, cfg.cross_attention_dim, generator=g) * 0.2
         sd[f"ip_adapter.{i}.to_v_ip.weight"] = torch.randn(
@@ -288,15 +291,16 @@ def test_unet_eps_matches_torch_oracle(rng):
     torch.manual_seed(0)
     oracle = TTinySDXLUNet(CFG).eval()
     ip_sd = _ip_adapter_sd(CFG, 1)
-    # install the IP weights into the oracle's attn2 modules (traversal order)
+    # install the IP weights into the oracle's attn2 modules in the real
+    # checkpoint's enumeration order (down_blocks, up_blocks, mid_block)
     attns = [
         oracle.down_blocks[1].attentions[0],
-        oracle.mid_block.attentions[0],
         oracle.up_blocks[0].attentions[0],
         oracle.up_blocks[0].attentions[1],
+        oracle.mid_block.attentions[0],
     ]
     with torch.no_grad():
-        for i, st in enumerate(attns):
+        for i, st in zip((1, 3, 5, 7), attns):
             a2 = st.transformer_blocks[0].attn2
             a2.to_k_ip.weight.copy_(ip_sd[f"ip_adapter.{i}.to_k_ip.weight"])
             a2.to_v_ip.weight.copy_(ip_sd[f"ip_adapter.{i}.to_v_ip.weight"])
