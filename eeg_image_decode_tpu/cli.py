@@ -151,6 +151,7 @@ def cmd_train_retrieval(args):
         lr=args.lr or 3e-4,
         recon_loss=args.recon,
         seed=args.seed,
+        host_dtype=getattr(args, "host_dtype", None),
         **kw,
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -209,15 +210,79 @@ def cmd_train_prior(args):
 
     mesh = create_mesh() if getattr(args, "mesh", False) else None
     pipe = PriorPipe(cfg, mesh=mesh)
-    history = pipe.train(c_emb, h_emb)
-    os.makedirs(args.output_dir, exist_ok=True)
+    from eeg_image_decode_tpu.core.checkpoint import Checkpointer
+
+    out_dir = args.resume_dir or args.output_dir
+    ckpt = Checkpointer(os.path.join(out_dir, "ckpt"))
+    history = pipe.train(
+        c_emb, h_emb, checkpointer=ckpt,
+        resume=bool(args.resume_dir),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pipe.save_with_config(os.path.join(out_dir, "diffusion_prior.pkl"))
+    print(json.dumps(history[-1]))
+
+
+def _load_vae(args):
+    """(VAE module, params) from ``--vae-params`` (pickled flax tree — a raw
+    VAE tree or a Generator4Embeds dict with a "vae" key)."""
     import pickle
 
-    import jax
+    import jax.numpy as jnp
 
-    with open(os.path.join(args.output_dir, "diffusion_prior.pkl"), "wb") as f:
-        pickle.dump(jax.device_get(pipe.state.params), f)
-    print(json.dumps(history[-1]))
+    from eeg_image_decode_tpu.gen.vae import VAE, VAEConfig
+
+    cfg = VAEConfig.tiny() if getattr(args, "tiny", False) else VAEConfig.sdxl()
+    vae = VAE(cfg, dtype=jnp.float32 if args.tiny else jnp.bfloat16)
+    with open(args.vae_params, "rb") as f:
+        params = pickle.load(f)
+    if isinstance(params, dict) and "vae" in params:
+        params = params["vae"]
+    return vae, params
+
+
+def _list_image_files(root: str) -> list[str]:
+    """Sorted recursive listing of image files (the THINGS ``images_set``
+    layout is ``<root>/<class_dir>/<img>.jpg``; flat dirs work too)."""
+    exts = (".png", ".jpg", ".jpeg")
+    out = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames.sort()
+        out.extend(
+            os.path.join(dirpath, f)
+            for f in sorted(filenames)
+            if f.lower().endswith(exts)
+        )
+    if not out:
+        raise SystemExit(f"no images found under {root}")
+    return out
+
+
+def cmd_latents(args):
+    """Build the content-keyed SDXL-VAE latent cache from an image dir — the
+    production step for the reference's external
+    ``train/test_image_latent_512.pt`` caches
+    (``Generation/eegdatasets_leaveone_latent_vae_no_average.py:62-70``),
+    now in-framework (flax VAE encode on TPU)."""
+    from eeg_image_decode_tpu.data.features import (
+        FlaxVAELatentEncoder,
+        cache_path,
+        load_or_compute_vae_latents,
+    )
+
+    vae, params = _load_vae(args)
+    size = args.image_size or (16 if args.tiny else 512)
+    enc = FlaxVAELatentEncoder(vae, params, image_size=size)
+    paths = _list_image_files(args.images_dir)
+    latents = load_or_compute_vae_latents(
+        args.cache_dir, args.split, paths, flax_vae=enc,
+        batch_size=args.batch_size or 8,
+    )
+    out = cache_path(args.cache_dir, f"sdxl-vae-{size}", args.split, paths)
+    print(json.dumps(
+        {"n_images": len(paths), "latent_shape": list(latents.shape),
+         "cache": out}
+    ))
 
 
 def cmd_train_lowlevel(args):
@@ -238,7 +303,22 @@ def cmd_train_lowlevel(args):
 
     mesh = create_mesh() if getattr(args, "mesh", False) else None
     trainer = LowLevelTrainer(cfg, mesh=mesh)
-    history = trainer.train(eeg, latents, seed=args.seed)
+    if args.preview_dir:
+        if not args.vae_params:
+            raise SystemExit("--preview-dir needs --vae-params (frozen VAE)")
+        vae, vparams = _load_vae(args)
+        trainer.set_preview_decoder(
+            vae, vparams, preview_dir=args.preview_dir,
+            preview_every=args.preview_every,
+        )
+    from eeg_image_decode_tpu.core.checkpoint import Checkpointer
+
+    out_dir = args.resume_dir or args.output_dir
+    ckpt = Checkpointer(os.path.join(out_dir, "ckpt"))
+    history = trainer.train(
+        eeg, latents, seed=args.seed, checkpointer=ckpt,
+        resume=bool(args.resume_dir),
+    )
     print(json.dumps(history[-1]))
 
 
@@ -297,6 +377,54 @@ def cmd_preprocess(args):
     print(f"wrote {out_dir}")
 
 
+def cmd_preprocess_meg(args):
+    """THINGS-MEG: exported epochs npz → reference-layout train/test pickles
+    — the notebook pipeline ``MEG-preprocessing/pre_possess.ipynb`` cells
+    6-36 (crop [0,1]s → drop catch 999999 → 12-repetition zero-shot concept
+    split → (n,12,1,C,T)/(n,1,12,C,T) layout → pickle). The fif→npz step is
+    ``scripts/export_meg.py`` (host-side, optional MNE)."""
+    from eeg_image_decode_tpu.preprocess.meg import (
+        crop_time_window,
+        save_meg,
+        split_meg_concepts,
+        split_meg_images,
+        to_reference_layout,
+    )
+
+    d = np.load(args.epochs, allow_pickle=True)
+    epochs, times = crop_time_window(
+        d["epochs"], d["times"], tmin=args.tmin, tmax=args.tmax
+    )
+    if args.image_concept_csv:
+        # image-level event ids + THINGS image→concept map (the notebook's
+        # real flow: zs images by repetition count, concept-overlap filter,
+        # 12-images-per-concept train grouping)
+        col = np.genfromtxt(args.image_concept_csv, dtype=np.int64)
+        if col.ndim > 1:
+            col = col[:, 0]
+        if col[0] <= 0:  # header row parsed as -1/0
+            col = col[1:]
+        train, test, train_ids, test_ids = split_meg_images(
+            epochs, d["event_ids"], col, test_reps=args.test_reps,
+            imgs_per_concept=args.train_reps,
+        )
+    else:
+        # concept-level event ids (already-grouped exports)
+        train, test, train_ids, test_ids = split_meg_concepts(
+            epochs, d["event_ids"], test_reps=args.test_reps,
+            train_reps=args.train_reps,
+        )
+    train, test = to_reference_layout(train, test)
+    save_meg(args.out, train, test, list(d["ch_names"]), times)
+    print(json.dumps({
+        "train_shape": list(train.shape),
+        "test_shape": list(test.shape),
+        "n_train_concepts": int(len(train_ids)),
+        "n_test_concepts": int(len(test_ids)),
+        "out": args.out,
+    }))
+
+
 def cmd_generate(args):
     """200-class × n-seed image generation from prior-sampled embeddings
     (the reference's ``Generation_metrics_sub8.ipynb`` cell 9 driver)."""
@@ -307,18 +435,16 @@ def cmd_generate(args):
 
     from eeg_image_decode_tpu.core.config import PriorConfig
     from eeg_image_decode_tpu.gen.sdxl import Generator4Embeds, GeneratorConfig
-    from eeg_image_decode_tpu.train.prior import PriorPipe, PriorState
+    from eeg_image_decode_tpu.train.prior import PriorPipe
 
     d = np.load(args.eeg_features)
     feats_test = d["eeg_features_test"]
 
-    pipe = PriorPipe(PriorConfig.tiny() if args.tiny else PriorConfig())
-    pipe.init(total_steps=1)
-    with open(args.prior_params, "rb") as f:
-        params = pickle.load(f)
-    pipe.state = PriorState(
-        step=jnp.zeros((), jnp.int32), params=params,
-        opt_state=pipe.state.opt_state,
+    # config-carrying checkpoints reconstruct their own PriorConfig; legacy
+    # raw trees fall back to the --tiny guess
+    pipe = PriorPipe.from_checkpoint(
+        args.prior_params,
+        default_cfg=PriorConfig.tiny() if args.tiny else PriorConfig(),
     )
 
     gcfg = GeneratorConfig.tiny() if args.tiny else GeneratorConfig()
@@ -385,7 +511,6 @@ def cmd_generate(args):
                 f"with the EEG test features ({feats_test.shape[0]})"
             )
 
-    os.makedirs(args.output_dir, exist_ok=True)
     from PIL import Image
 
     n = feats_test.shape[0]
@@ -394,6 +519,23 @@ def cmd_generate(args):
             f"--captions-file has {len(captions)} lines, need one per test "
             f"class ({n})"
         )
+    # reference-layout output tree: <output>/<sub>/<class-name>/<j>.png
+    # (``Generation_metrics_sub8.ipynb`` cell 9) when --class-names/--sub are
+    # given; class_%04d/<j>.png otherwise
+    class_names = None
+    if args.class_names:
+        with open(args.class_names) as f:
+            class_names = [line.rstrip("\n") for line in f if line.strip()]
+        if len(class_names) != n:
+            raise SystemExit(
+                f"--class-names has {len(class_names)} lines, need one per "
+                f"test class ({n})"
+            )
+    out_root = (
+        os.path.join(args.output_dir, args.sub) if args.sub
+        else args.output_dir
+    )
+    os.makedirs(out_root, exist_ok=True)
     bs = args.gen_batch
 
     def pad_rows(a):
@@ -426,12 +568,14 @@ def cmd_generate(args):
             arr = np.asarray(jnp.round(imgs * 255)).astype(np.uint8)[:real]
             for j in range(arr.shape[0]):
                 cls = start + j
-                cls_dir = os.path.join(args.output_dir, f"class_{cls:04d}")
+                name = (class_names[cls] if class_names
+                        else f"class_{cls:04d}")
+                cls_dir = os.path.join(out_root, name)
                 os.makedirs(cls_dir, exist_ok=True)
                 Image.fromarray(arr[j]).save(
                     os.path.join(cls_dir, f"{seed}.png")
                 )
-    print(f"wrote {n} classes × {args.seeds} seeds to {args.output_dir}")
+    print(f"wrote {n} classes × {args.seeds} seeds to {out_root}")
 
 
 def cmd_caption(args):
@@ -463,17 +607,13 @@ def cmd_caption(args):
                 "sample CLIP embeddings from the prior"
             )
         from eeg_image_decode_tpu.core.config import PriorConfig
-        from eeg_image_decode_tpu.train.prior import PriorPipe, PriorState
+        from eeg_image_decode_tpu.train.prior import PriorPipe
 
         d = np.load(args.eeg_features)
         feats_test = d["eeg_features_test"]
-        pipe = PriorPipe(PriorConfig.tiny() if args.tiny else PriorConfig())
-        pipe.init(total_steps=1)
-        with open(args.prior_params, "rb") as f:
-            params = pickle.load(f)
-        pipe.state = PriorState(
-            step=jnp.zeros((), jnp.int32), params=params,
-            opt_state=pipe.state.opt_state,
+        pipe = PriorPipe.from_checkpoint(
+            args.prior_params,
+            default_cfg=PriorConfig.tiny() if args.tiny else PriorConfig(),
         )
         embeds = np.asarray(pipe.generate(
             jnp.asarray(feats_test), key=jax.random.key(args.seed)
@@ -532,10 +672,13 @@ def cmd_caption(args):
     print(f"wrote {n} captions to {args.out}")
 
 
-def _load_image_batch(path: str, *, seed: int, size: int) -> np.ndarray:
+def _load_image_batch(path: str, *, seed: int, size: int,
+                      class_names: list[str] | None = None) -> np.ndarray:
     """Images in [0,1] NHWC from a ``.npy``/``.npz`` array, a ``cmd_generate``
-    output tree (``class_XXXX/<seed>.png``), or a flat directory of images
-    (sorted by filename — the reference's GT ordering)."""
+    output tree (``class_XXXX/<seed>.png`` — or ``<class-name>/<seed>.png``
+    in test-class order when ``class_names`` is given, the reference's
+    ``generated_imgs/sub-08/<class>/<j>.png`` layout), or a flat directory of
+    images (sorted by filename — the reference's GT ordering)."""
     from PIL import Image
 
     def load_one(p: str) -> np.ndarray:
@@ -555,6 +698,20 @@ def _load_image_batch(path: str, *, seed: int, size: int) -> np.ndarray:
                 arr, (arr.shape[0], size, size, 3), "bilinear"
             ))
         return arr
+    if class_names is not None:
+        # dirs in TEST-CLASS order (not alphabetical — THINGS class names
+        # don't sort in index order)
+        missing = [c for c in class_names
+                   if not os.path.isdir(os.path.join(path, c))]
+        if missing:
+            raise SystemExit(
+                f"{len(missing)} class dirs from --class-names missing under "
+                f"{path} (first: {missing[0]!r})"
+            )
+        return np.stack([
+            load_one(os.path.join(path, c, f"{seed}.png"))
+            for c in class_names
+        ])
     entries = sorted(os.listdir(path))
     class_dirs = [e for e in entries if
                   os.path.isdir(os.path.join(path, e))]
@@ -583,8 +740,12 @@ def cmd_metrics(args):
         reconstruction_metrics,
     )
 
+    class_names = None
+    if getattr(args, "class_names", None):
+        with open(args.class_names) as f:
+            class_names = [line.rstrip("\n") for line in f if line.strip()]
     gen = _load_image_batch(args.generated, seed=args.gen_seed,
-                            size=args.image_size)
+                            size=args.image_size, class_names=class_names)
     gt = _load_image_batch(args.ground_truth, seed=0, size=args.image_size)
     if gen.shape[0] != gt.shape[0]:
         raise SystemExit(
@@ -690,6 +851,10 @@ def main(argv=None):
                         "loader) instead of keeping the dataset in HBM — "
                         "for beyond-HBM datasets, e.g. all-subject joint "
                         "training")
+    p.add_argument("--host-dtype", default=None, choices=["bfloat16"],
+                   dest="host_dtype",
+                   help="with --streaming: store/stream EEG host-side in "
+                        "this dtype (halves per-batch transfer bytes)")
     _add_common(p)
     p.add_argument("--encoder", default="atms")
     p.add_argument("--subjects", default="sub-01")
@@ -719,6 +884,9 @@ def main(argv=None):
                    help=".npz with eeg_features + img_features")
     p.add_argument("--mesh", action="store_true",
                    help="data-parallel over all devices")
+    p.add_argument("--resume-dir", default=None,
+                   help="existing run directory: restore the latest orbax "
+                        "checkpoint (full PriorState) and continue")
     p.set_defaults(fn=cmd_train_prior)
 
     p = sub.add_parser("train-lowlevel", help="EEG→VAE-latent training")
@@ -728,7 +896,33 @@ def main(argv=None):
     p.add_argument("--mesh", action="store_true",
                    help="data-parallel over all devices (batch size must "
                         "divide the device count)")
+    p.add_argument("--preview-dir", default=None,
+                   help="periodically decode sample predictions through the "
+                        "frozen VAE to PNGs here (ref :309-323)")
+    p.add_argument("--preview-every", type=int, default=10)
+    p.add_argument("--vae-params", default=None,
+                   help="pickled flax VAE params (for --preview-dir)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny VAE config (tests/smoke)")
+    p.add_argument("--resume-dir", default=None,
+                   help="existing run directory: restore the latest orbax "
+                        "checkpoint (full state) and continue")
     p.set_defaults(fn=cmd_train_lowlevel)
+
+    p = sub.add_parser(
+        "latents", help="build the SDXL-VAE latent cache from an image dir"
+    )
+    p.add_argument("--images-dir", required=True)
+    p.add_argument("--vae-params", required=True,
+                   help="pickled flax VAE params (raw tree or generator dict)")
+    p.add_argument("--cache-dir", default="cache")
+    p.add_argument("--split", default="train")
+    p.add_argument("--image-size", type=int, default=None,
+                   help="default 512 (16 with --tiny)")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny VAE config (tests/smoke)")
+    p.set_defaults(fn=cmd_latents)
 
     p = sub.add_parser("preprocess", help="raw → preprocessed epochs")
     p.add_argument("--sub", type=int, required=True)
@@ -737,6 +931,25 @@ def main(argv=None):
     p.add_argument("--sfreq", type=int, default=250)
     p.add_argument("--seed", type=int, default=20200220)
     p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser(
+        "preprocess-meg",
+        help="THINGS-MEG epochs npz → reference-layout pickles",
+    )
+    p.add_argument("--epochs", required=True,
+                   help="npz from scripts/export_meg.py (epochs/event_ids/"
+                        "times/ch_names)")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--tmin", type=float, default=0.0)
+    p.add_argument("--tmax", type=float, default=1.0)
+    p.add_argument("--test-reps", type=int, default=12)
+    p.add_argument("--train-reps", type=int, default=12,
+                   help="images per train concept with --image-concept-csv; "
+                        "reps per train concept otherwise")
+    p.add_argument("--image-concept-csv", default=None,
+                   help="THINGS image_concept_index.csv (1-indexed image → "
+                        "concept); enables the notebook's image-level split")
+    p.set_defaults(fn=cmd_preprocess_meg)
 
     p = sub.add_parser("generate", help="prior sampling + SDXL image generation")
     p.add_argument("--eeg-features", required=True)
@@ -757,6 +970,12 @@ def main(argv=None):
                         "low-level img2img init")
     p.add_argument("--img2img-strength", type=float, default=0.7)
     p.add_argument("--output-dir", default="./generated_imgs")
+    p.add_argument("--class-names", default=None,
+                   help="file with one THINGS class name per test class: "
+                        "write <output>/<sub>/<class-name>/<j>.png (the "
+                        "reference's metric-notebook layout)")
+    p.add_argument("--sub", default=None,
+                   help="subject tag level in the output tree, e.g. sub-08")
     p.add_argument("--seeds", type=int, default=10)
     p.add_argument("--gen-batch", type=int, default=50)
     p.add_argument("--tiny", action="store_true",
@@ -792,6 +1011,11 @@ def main(argv=None):
                         "--generated")
     p.add_argument("--gen-seed", type=int, default=0,
                    help="which per-class seed image to score")
+    p.add_argument("--class-names", default=None,
+                   help="file with one THINGS class name per test class: "
+                        "read <generated>/<class-name>/<seed>.png in this "
+                        "order (the reference's generated_imgs layout; point "
+                        "--generated at the <sub> level)")
     p.add_argument("--image-size", type=int, default=425,
                    help="common resize before scoring (MindEye protocol)")
     p.add_argument("--backbone-params", default=None,

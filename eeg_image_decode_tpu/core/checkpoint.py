@@ -63,6 +63,31 @@ class Checkpointer:
         self.manager.close()
 
 
+def save_history(checkpointer: Checkpointer, history: list[dict]) -> None:
+    """Persist the epoch-metric history next to the checkpoints (atomic
+    write), so a resumed run can reproduce the uninterrupted run's full
+    history."""
+    import json
+
+    path = os.path.join(checkpointer.directory, "history.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(history, f)
+    os.replace(tmp, path)
+
+
+def load_history(checkpointer: Checkpointer, before_epoch: int) -> list[dict]:
+    """Completed history rows (epoch < ``before_epoch``) from a prior run."""
+    import json
+
+    path = os.path.join(checkpointer.directory, "history.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        rows = json.load(f)
+    return [r for r in rows if r.get("epoch", -1) < before_epoch]
+
+
 def run_directory(
     root: str, encoder: str, subject: str, run_id: str
 ) -> str:

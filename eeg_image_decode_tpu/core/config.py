@@ -96,6 +96,9 @@ class ATMSConfig:
     fused_attention: bool | str = "auto"
     #: fused Pallas tsconv stage-1 ('auto' → TPU only)
     fused_tsconv: bool | str = "auto"
+    #: stage-1 BatchNorm: 'flax' or 'gram' (batch stats computed from the
+    #: stage-1 matmul inputs — models/layers.py::GramStage1BN)
+    tsconv_bn1: str = "flax"
 
 
 @dataclass(frozen=True)
@@ -119,6 +122,10 @@ class ContrastiveTrainConfig:
     eval_ks: tuple[int, ...] = (2, 4, 10, 50, 100, 200)
     #: dtype for activations on the compute path; params stay fp32
     compute_dtype: str = "bfloat16"
+    #: streaming mode only: store/stream the host-side EEG in this dtype
+    #: ("bfloat16" halves gather + host→device bytes on the transfer-bound
+    #: beyond-HBM path; None keeps fp32). The device step upcasts as usual.
+    host_dtype: str | None = None
     data_axis: str = "dp"
 
 

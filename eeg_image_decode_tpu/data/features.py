@@ -140,6 +140,84 @@ class FlaxCLIPFeatureEncoder:
         return img, txt
 
 
+class FlaxVAELatentEncoder:
+    """Image dir → SDXL-VAE latent cache, natively on TPU.
+
+    The reference's low-level pipeline consumes pre-built
+    ``train/test_image_latent_512.pt`` latent caches
+    (``Generation/eegdatasets_leaveone_latent_vae_no_average.py:62-70``)
+    whose production is external to that repo; this is the missing builder.
+    Images are resized to ``image_size``² (bicubic, the 512² the cache name
+    implies), mapped to [-1, 1], and encoded DETERMINISTICALLY through the
+    frozen flax VAE (distribution mean × scaling factor — ``VAE.encode``
+    with no key), yielding NHWC ``(N, size/8, size/8, 4)`` latents that
+    :class:`~eeg_image_decode_tpu.train.lowlevel.LowLevelTrainer` consumes
+    directly.
+    """
+
+    def __init__(self, vae, vae_params, *, image_size: int = 512):
+        self.vae = vae
+        self.vae_params = vae_params
+        self.image_size = image_size
+
+    def _load_images(self, paths: list[str]) -> np.ndarray:
+        from PIL import Image
+
+        size = self.image_size
+        out = np.empty((len(paths), size, size, 3), np.float32)
+        for i, p in enumerate(paths):
+            im = Image.open(p).convert("RGB").resize((size, size),
+                                                     Image.BICUBIC)
+            out[i] = np.asarray(im, np.float32) / 255.0
+        return out
+
+    def encode_images(self, image_paths: list[str], *,
+                      batch_size: int = 8) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def enc(imgs):
+            from eeg_image_decode_tpu.gen.vae import VAE
+
+            return self.vae.apply(
+                {"params": self.vae_params}, imgs * 2.0 - 1.0,
+                method=VAE.encode,
+            )
+
+        chunks = []
+        for i in range(0, len(image_paths), batch_size):
+            batch = image_paths[i : i + batch_size]
+            imgs = self._load_images(batch)
+            if len(batch) < batch_size:  # pad: one compiled shape
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[-1:], batch_size - len(batch), 0)]
+                )
+            chunks.append(np.asarray(enc(jnp.asarray(imgs)))[: len(batch)])
+        return np.concatenate(chunks, 0).astype(np.float32)
+
+
+def load_or_compute_vae_latents(
+    cache_dir: str,
+    split: str,
+    image_paths: list[str],
+    *,
+    flax_vae: FlaxVAELatentEncoder,
+    batch_size: int = 8,
+) -> np.ndarray:
+    """Content-keyed cache-or-encode for VAE latents — the analogue of
+    :func:`load_or_compute_clip_features` for the low-level pipeline."""
+    path = cache_path(
+        cache_dir, f"sdxl-vae-{flax_vae.image_size}", split, image_paths
+    )
+    if os.path.exists(path):
+        return load_features(path)["latents"]
+    latents = flax_vae.encode_images(image_paths, batch_size=batch_size)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, latents=latents)
+    return latents
+
+
 def load_or_compute_clip_features(
     cache_dir: str,
     split: str,

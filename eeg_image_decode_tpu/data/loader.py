@@ -50,7 +50,24 @@ class PrefetchLoader:
         buffer_size: int = 2,
         sharding: Any | None = None,
         gather_threads: int = 0,
+        host_dtype: str | np.dtype | None = None,
     ):
+        """``host_dtype`` (e.g. ``"bfloat16"``) stores the FLOAT arrays
+        host-side in that dtype, halving both the gather row bytes and the
+        host→device transfer per batch — the whole streaming mode exists
+        because data movement is the constraint (PCIe on real hosts, the
+        tunnel here). Integer arrays (labels, indices) are untouched; the
+        device step upcasts to its compute dtype as usual."""
+        if host_dtype is not None:
+            import ml_dtypes  # jax dependency; provides numpy bfloat16
+
+            dt = (np.dtype(ml_dtypes.bfloat16)
+                  if str(host_dtype) == "bfloat16" else np.dtype(host_dtype))
+            arrays = {
+                k: (v.astype(dt) if np.issubdtype(v.dtype, np.floating)
+                    else v)
+                for k, v in arrays.items()
+            }
         n = {len(v) for v in arrays.values()}
         if len(n) != 1:
             raise ValueError(f"arrays disagree on length: { {k: len(v) for k, v in arrays.items()} }")

@@ -224,6 +224,7 @@ class ATMS(nn.Module):
             dropout=cfg.conv_dropout,
             spatial_extent=cfg.n_channels,
             fused_stage1=cfg.fused_tsconv,
+            bn1_impl=getattr(cfg, "tsconv_bn1", "flax"),
             dtype=self.dtype,
             name="enc_eeg",
         )(h, deterministic=deterministic)

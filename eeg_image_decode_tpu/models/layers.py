@@ -29,6 +29,69 @@ def sinusoidal_position_embedding(n_positions: int, d_model: int) -> np.ndarray:
     return pe.astype(np.float32)
 
 
+class GramStage1BN(nn.Module):
+    """BatchNorm for the fused stage-1 output whose BATCH STATS are computed
+    from the matmul INPUTS instead of reduction passes over the output.
+
+    With ``y = x2 @ E`` ((B·C, T) × (T, P·F)), per-column sums and second
+    moments are exact (bi)linear functions of the inputs:
+
+        Σ_r y[r, c]  = (1ᵀ x2) @ E                      — one (T)·(T, P·F) matvec
+        Σ_r y[r, c]² = Σ_t E[t, c] · (x2ᵀx2 @ E)[t, c]  — Gram (T, T) + one matmul
+
+    so the per-feature mean/var over (B, C, P) cost small (T×T)/(T×P·F)
+    operands instead of two reduction passes over the (B·C, P·F) activation
+    (~372 MB fp32 at the flagship batch). The normalize itself stays a
+    dtype-preserving elementwise op that XLA fuses into the neighbors.
+    Gradients are exact: the stats are the same mathematical function of
+    (x2, E), just evaluated without materializing y's reductions.
+
+    Param/variable names match ``nn.BatchNorm`` (scale/bias; batch_stats
+    mean/var), so checkpoints are tree-compatible with the flax variant.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jax.Array, x2: jax.Array, e: jax.Array, *,
+                 use_running_average: bool) -> jax.Array:
+        p, f = y.shape[-2], y.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((f,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((f,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (f,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            n = x2.shape[0] * p
+            x32 = x2.astype(jnp.float32)
+            e32 = e.astype(jnp.float32)
+            colsum = jnp.dot(x32.sum(axis=0), e32,
+                             preferred_element_type=jnp.float32)
+            gram = jnp.dot(x32.T, x32, preferred_element_type=jnp.float32)
+            m2_col = jnp.sum(
+                jnp.dot(gram, e32, preferred_element_type=jnp.float32) * e32,
+                axis=0,
+            )
+            mean = colsum.reshape(p, f).sum(axis=0) / n
+            var = jnp.maximum(
+                m2_col.reshape(p, f).sum(axis=0) / n - mean * mean, 0.0
+            )
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * jax.lax.stop_gradient(mean)
+                ra_var.value = m * ra_var.value + (1 - m) * jax.lax.stop_gradient(var)
+        mul = scale * jax.lax.rsqrt(var + self.epsilon)
+        add = bias - mean * mul
+        return y * mul.astype(y.dtype) + add.astype(y.dtype)
+
+
 class TSConv(nn.Module):
     """Temporal→spatial conv stack (ShallowNet-style ``tsconv``).
 
@@ -49,6 +112,9 @@ class TSConv(nn.Module):
     #: fuse conv+avg-pool into one dense MXU matmul (see ops/tsconv.py —
     #: fastest of the three formulations); 'auto' → on for TPU, off elsewhere
     fused_stage1: bool | str = "auto"
+    #: 'flax' (nn.BatchNorm) or 'gram' (stats from the stage-1 matmul inputs
+    #: via :class:`GramStage1BN` — requires the fused path; perf experiment)
+    bn1_impl: str = "flax"
     dtype: jnp.dtype = jnp.float32
 
     def _use_fused(self) -> bool:
@@ -60,7 +126,36 @@ class TSConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool) -> jax.Array:
-        if self._use_fused():
+        gram_bn = self._use_fused() and self.bn1_impl == "gram"
+        if gram_bn:
+            # same math as tsconv_stage1(impl='matmul'), kept open so the
+            # matmul inputs (x2, E) feed GramStage1BN's input-side stats
+            from eeg_image_decode_tpu.ops.tsconv import (
+                _out_positions,
+                expand_folded_kernel,
+                fold_pool_into_kernel,
+            )
+
+            w = self.param(
+                "temporal_conv_kernel",
+                nn.initializers.lecun_normal(),
+                (self.temporal_kernel, self.filters),
+            )
+            b_, c_, t_ = x.shape
+            w_tilde = fold_pool_into_kernel(
+                w.astype(self.dtype), self.pool_size
+            )
+            e = expand_folded_kernel(
+                w_tilde, t_, self.pool_stride
+            ).astype(self.dtype)
+            n_pos = _out_positions(
+                t_, self.temporal_kernel + self.pool_size - 1,
+                self.pool_stride,
+            )
+            x2 = x.reshape(b_ * c_, t_).astype(self.dtype)
+            y = jnp.dot(x2, e, preferred_element_type=jnp.float32)
+            x = y.reshape(b_, c_, n_pos, self.filters).astype(self.dtype)
+        elif self._use_fused():
             from eeg_image_decode_tpu.ops.tsconv import tsconv_stage1
 
             # no conv bias ahead of BatchNorm (see below)
@@ -97,10 +192,15 @@ class TSConv(nn.Module):
         # the (B, 63, P, F) activation in fp32 here cost ~35% of the train
         # step on v5e (bf16→fp32 copies + fp32 layout copies, seen in the
         # profiler); elementwise normalize fuses either way.
-        x = nn.BatchNorm(
-            use_running_average=deterministic, momentum=0.9, dtype=self.dtype,
-            name="bn1",
-        )(x)
+        if gram_bn:
+            x = GramStage1BN(momentum=0.9, dtype=self.dtype, name="bn1")(
+                x, x2, e, use_running_average=deterministic
+            )
+        else:
+            x = nn.BatchNorm(
+                use_running_average=deterministic, momentum=0.9,
+                dtype=self.dtype, name="bn1",
+            )(x)
         x = nn.elu(x)
         x = nn.Conv(
             self.filters,

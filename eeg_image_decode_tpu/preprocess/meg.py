@@ -65,6 +65,62 @@ def split_meg_concepts(
     )
 
 
+def split_meg_images(
+    epochs: np.ndarray,
+    event_ids: np.ndarray,
+    image_concepts: np.ndarray,
+    *,
+    test_reps: int = 12,
+    imgs_per_concept: int = 12,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """The notebook's REAL image-level semantics (cells 6-27): event ids are
+    THINGS *image* indices; zero-shot test images are those repeated exactly
+    ``test_reps`` times (``identify_zs_event_ids``); images map to concepts
+    via ``image_concepts`` (the 1-indexed ``image_concept_index.csv``
+    column); training epochs whose concept overlaps a test concept are
+    dropped (cell 27's ``keep_epochs_mask``); the remaining train epochs
+    group ``imgs_per_concept`` images per concept (``reshape_meg_data(…,
+    num_imgs=12, repetitions=1)``), the test epochs group ``test_reps``
+    repetitions per image.
+
+    Returns (train (n_cls, imgs, C, T), test (n_test, reps, C, T),
+    train_concept_ids, test_concept_ids). Concepts with a ragged image count
+    (≠ ``imgs_per_concept``, possible in partial/synthetic data) are dropped.
+    """
+    event_ids = np.asarray(event_ids)
+    keep = event_ids != CATCH_EVENT
+    epochs, event_ids = epochs[keep], event_ids[keep]
+    image_concepts = np.asarray(image_concepts)
+
+    ids, counts = np.unique(event_ids, return_counts=True)
+    zs_ids = ids[counts == test_reps]
+    test_concepts = np.unique(image_concepts[zs_ids - 1])
+
+    is_test = np.isin(event_ids, zs_ids)
+    tr_epochs, tr_ids = epochs[~is_test], event_ids[~is_test]
+    tr_concepts = image_concepts[tr_ids - 1]
+    keep_tr = ~np.isin(tr_concepts, test_concepts)
+    tr_epochs, tr_ids, tr_concepts = (
+        tr_epochs[keep_tr], tr_ids[keep_tr], tr_concepts[keep_tr]
+    )
+    order = np.lexsort((tr_ids, tr_concepts))
+    tr_epochs, tr_concepts = tr_epochs[order], tr_concepts[order]
+    train_concepts, tr_counts = np.unique(tr_concepts, return_counts=True)
+    full = tr_counts == imgs_per_concept
+    sel = np.isin(tr_concepts, train_concepts[full])
+    n_full = int(full.sum())
+    train = tr_epochs[sel].reshape(
+        (n_full, imgs_per_concept) + epochs.shape[1:]
+    )
+
+    te_epochs, te_ids = epochs[is_test], event_ids[is_test]
+    order = np.argsort(te_ids, kind="stable")
+    test = te_epochs[order].reshape(
+        (len(zs_ids), test_reps) + epochs.shape[1:]
+    )
+    return train, test, train_concepts[full], test_concepts
+
+
 def to_reference_layout(
     train: np.ndarray, test: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -77,7 +133,7 @@ def save_meg(path: str, train: np.ndarray, test: np.ndarray, ch_names, times):
     import os
     import pickle
 
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    os.makedirs(path, exist_ok=True)
     for name, arr in (("train", train), ("test", test)):
         with open(os.path.join(path, f"preprocessed_meg_{name}.npy"), "wb") as f:
             pickle.dump(

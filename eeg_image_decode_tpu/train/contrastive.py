@@ -344,6 +344,7 @@ class ContrastiveTrainer:
                 cfg.batch_size,
                 seed=cfg.seed,
                 sharding=batch_sharding(mesh) if mesh is not None else None,
+                host_dtype=cfg.host_dtype,
             )
             put = (
                 (lambda x: jax.device_put(x, replicated_sharding(mesh)))

@@ -9,6 +9,7 @@ whole-dataset-in-HBM scan-epoch design as the other trainers.
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import Any
@@ -49,6 +50,7 @@ class LowLevelTrainer:
             latent_channels=cfg.latent_shape[0],
         )
         self.state: LowLevelState | None = None
+        self._preview: dict | None = None
 
     def init(self, total_steps: int, seed: int = 0) -> LowLevelState:
         cfg = self.cfg
@@ -110,6 +112,50 @@ class LowLevelTrainer:
 
         return dp_epoch_jit(epoch_fn, self.mesh, n_args=4, perm_index=3)
 
+    def set_preview_decoder(self, vae, vae_params, *, preview_dir: str,
+                            preview_every: int = 10, n_previews: int = 4
+                            ) -> None:
+        """Install a frozen VAE so ``train()`` periodically decodes a few
+        predicted latents to PNGs — the reference's training-time sample
+        decode (``train_vae_latent_512_low_level_no_average.py:309-323,
+        375-397``). Previews land in ``preview_dir/epoch_%04d/%02d.png``."""
+        import jax.numpy as jnp
+
+        from eeg_image_decode_tpu.gen.vae import VAE
+
+        @jax.jit
+        def decode(params, batch_stats, vparams, eeg):
+            lat = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                eeg, deterministic=True,
+            )
+            img = vae.apply({"params": vparams}, lat.astype(jnp.float32),
+                            method=VAE.decode)
+            return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+        self._preview = {
+            "decode": decode,
+            "vae_params": vae_params,
+            "dir": preview_dir,
+            "every": max(1, preview_every),
+            "n": n_previews,
+        }
+
+    def _write_previews(self, epoch: int, eeg: np.ndarray) -> None:
+        from PIL import Image
+
+        p = self._preview
+        imgs = np.asarray(p["decode"](
+            self.state.params, self.state.batch_stats, p["vae_params"],
+            jnp.asarray(eeg[: p["n"]], jnp.float32),
+        ))
+        out = os.path.join(p["dir"], f"epoch_{epoch:04d}")
+        os.makedirs(out, exist_ok=True)
+        for i, im in enumerate(imgs):
+            Image.fromarray((im * 255).astype(np.uint8)).save(
+                os.path.join(out, f"{i:02d}.png")
+            )
+
     def train(
         self,
         eeg: np.ndarray,
@@ -119,9 +165,17 @@ class LowLevelTrainer:
         batch_size: int | None = None,
         seed: int = 0,
         log_fn=print,
+        checkpointer=None,
+        ckpt_every_epochs: int = 10,
+        resume: bool = False,
     ) -> list[dict]:
         """``latents`` accepted NCHW (the cached torch layout, (N,4,64,64)) or
-        NHWC; converted to NHWC internally."""
+        NHWC; converted to NHWC internally.
+
+        ``checkpointer``/``resume`` work like the prior trainer's: full-state
+        orbax saves every ``ckpt_every_epochs`` + durable final, epoch-keyed
+        permutations so a resumed run reproduces the uninterrupted one (the
+        reference's 200-epoch job restarts from scratch on a kill)."""
         cfg = self.cfg
         epochs = epochs or cfg.epochs
         batch_size = min(batch_size or cfg.batch_size, eeg.shape[0])
@@ -134,10 +188,24 @@ class LowLevelTrainer:
         n_steps = max(n // batch_size, 1)
         if self.state is None:
             self.init(total_steps=n_steps * epochs, seed=seed)
+        start_epoch = 0
+        history: list[dict] = []
+        if resume:
+            from eeg_image_decode_tpu.core.checkpoint import load_history
+
+            if checkpointer is None:
+                raise ValueError("resume=True needs a checkpointer")
+            step = checkpointer.latest_step()
+            if step is None:
+                raise FileNotFoundError(
+                    f"no checkpoints under {checkpointer.directory}"
+                )
+            self.state = checkpointer.restore(step, self.state)
+            start_epoch = int(step)
+            history = load_history(checkpointer, start_epoch)
         eeg_all = jax.device_put(jnp.asarray(eeg, jnp.float32))
         lat_all = jax.device_put(jnp.asarray(latents, jnp.float32))
-        history = []
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             rng = np.random.default_rng(seed * 7907 + epoch)
             perm = jnp.asarray(
                 rng.permutation(n)[: n_steps * batch_size]
@@ -153,6 +221,28 @@ class LowLevelTrainer:
             )
             if log_fn and epoch % max(1, epochs // 10) == 0:
                 log_fn(f"lowlevel epoch {epoch}: L1={loss:.4f}")
+            if (
+                self._preview is not None
+                and (epoch + 1) % self._preview["every"] == 0
+            ):
+                self._write_previews(epoch, eeg)
+            if (
+                checkpointer is not None
+                and (epoch + 1) % ckpt_every_epochs == 0
+            ):
+                from eeg_image_decode_tpu.core.checkpoint import save_history
+
+                checkpointer.save(epoch + 1, self.state)
+                save_history(checkpointer, history)
+        if checkpointer is not None and epochs > start_epoch:
+            from eeg_image_decode_tpu.core.checkpoint import save_history
+
+            if checkpointer.latest_step() != epochs:
+                checkpointer.save(epochs, self.state)
+            save_history(checkpointer, history)
+            checkpointer.manager.wait_until_finished()  # durable final save
+        if self._preview is not None:
+            self._write_previews(epochs - 1, eeg)  # final previews (ref eval)
         return history
 
     def predict(self, eeg: jax.Array) -> jax.Array:

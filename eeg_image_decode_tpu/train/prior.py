@@ -159,7 +159,17 @@ class PriorPipe:
         epochs: int | None = None,
         batch_size: int | None = None,
         log_fn=print,
+        checkpointer=None,
+        ckpt_every_epochs: int = 10,
+        resume: bool = False,
     ) -> list[dict]:
+        """``checkpointer`` (``core.checkpoint.Checkpointer``) saves the full
+        PriorState (params + Adam state + step) every ``ckpt_every_epochs``
+        plus a durable final save; ``resume=True`` restores the latest step
+        and continues — per-epoch permutations/keys derive from (seed,
+        epoch), so the resumed run reproduces the uninterrupted trajectory
+        exactly. The reference's 150-epoch prior job loses everything on a
+        kill (it only pickles the final state_dict)."""
         cfg = self.cfg
         epochs = epochs or cfg.epochs
         batch_size = batch_size or cfg.batch_size
@@ -174,10 +184,25 @@ class PriorPipe:
         if self.state is None:
             self.init(total_steps=n_steps * epochs)
 
+        start_epoch = 0
+        history: list[dict] = []
+        if resume:
+            from eeg_image_decode_tpu.core.checkpoint import load_history
+
+            if checkpointer is None:
+                raise ValueError("resume=True needs a checkpointer")
+            step = checkpointer.latest_step()
+            if step is None:
+                raise FileNotFoundError(
+                    f"no checkpoints under {checkpointer.directory}"
+                )
+            self.state = checkpointer.restore(step, self.state)
+            start_epoch = int(step)  # save key = completed epoch count
+            history = load_history(checkpointer, start_epoch)
+
         c_all = jax.device_put(jnp.asarray(c_embeddings, jnp.float32))
         h_all = jax.device_put(jnp.asarray(h_embeddings, jnp.float32))
-        history = []
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             rng = np.random.default_rng(cfg.seed * 9176 + epoch)
             perm = jnp.asarray(
                 rng.permutation(n)[: n_steps * batch_size]
@@ -197,10 +222,29 @@ class PriorPipe:
             history.append({"epoch": epoch, "loss": loss, "epoch_time_s": dt})
             if log_fn and (epoch % max(1, epochs // 20) == 0 or epoch == epochs - 1):
                 log_fn(f"prior epoch {epoch}: loss={loss:.4f} ({dt:.2f}s)")
+            if (
+                checkpointer is not None
+                and (epoch + 1) % ckpt_every_epochs == 0
+            ):
+                from eeg_image_decode_tpu.core.checkpoint import save_history
+
+                checkpointer.save(epoch + 1, self.state)
+                save_history(checkpointer, history)
+        if checkpointer is not None and epochs > start_epoch:
+            from eeg_image_decode_tpu.core.checkpoint import save_history
+
+            if checkpointer.latest_step() != epochs:
+                checkpointer.save(epochs, self.state)
+            save_history(checkpointer, history)
+            checkpointer.manager.wait_until_finished()  # durable final save
         return history
 
     # — checkpointing (the reference pickles the prior state_dict,
     #   Generation_metrics_sub8.ipynb cell 9 / GIT_caption_batch.ipynb cell 7) —
+
+    #: config fields that determine the parameter tree's architecture
+    ARCH_FIELDS = ("embed_dim", "cond_dim", "hidden_dims", "time_embed_dim")
+
     def save(self, path: str) -> str:
         import os
         import pickle
@@ -211,14 +255,88 @@ class PriorPipe:
             pickle.dump(jax.device_get(self.state.params), f)
         return path
 
+    def save_with_config(self, path: str) -> str:
+        """Pickle ``{"config": …, "params": …}`` so a loader can validate (or
+        reconstruct) the architecture instead of failing deep inside a flax
+        apply on a mismatched ``hidden_dims``."""
+        import dataclasses
+        import os
+        import pickle
+
+        assert self.state is not None
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(
+                {
+                    "format": "eeg_image_decode_tpu/prior-v1",
+                    "config": dataclasses.asdict(self.cfg),
+                    "params": jax.device_get(self.state.params),
+                },
+                f,
+            )
+        return path
+
     def load(self, path: str) -> None:
+        """Load a pickled prior (either the config-carrying ``prior-v1``
+        format or a legacy raw param tree). A config-carrying checkpoint that
+        disagrees with this pipe's architecture raises a one-line diff."""
         import pickle
 
         with open(path, "rb") as f:
-            params = pickle.load(f)
+            obj = pickle.load(f)
+        params = self._validate_payload(obj)
         if self.state is None:
             self.init(total_steps=1)
         self.state = self.state.replace(params=params)
+
+    def _validate_payload(self, obj):
+        import dataclasses
+
+        if isinstance(obj, dict) and "params" in obj and "config" in obj:
+            mine = dataclasses.asdict(self.cfg)
+            theirs = obj["config"]
+
+            def norm(v):
+                return tuple(v) if isinstance(v, (list, tuple)) else v
+
+            diffs = {
+                k: {"pipe": mine[k], "checkpoint": theirs.get(k)}
+                for k in self.ARCH_FIELDS
+                if norm(mine[k]) != norm(theirs.get(k))
+            }
+            if diffs:
+                raise ValueError(
+                    f"prior checkpoint config does not match this pipe: {diffs}"
+                )
+            return obj["params"]
+        return obj  # legacy raw param tree
+
+    @classmethod
+    def from_checkpoint(
+        cls, path: str, *, default_cfg: PriorConfig | None = None, mesh=None
+    ) -> "PriorPipe":
+        """Build a pipe FROM a checkpoint: a config-carrying pickle
+        reconstructs its own ``PriorConfig`` (no caller guessing); a legacy
+        raw tree uses ``default_cfg`` (and still fails clearly on the first
+        apply if that guess is wrong)."""
+        import pickle
+
+        with open(path, "rb") as f:
+            obj = pickle.load(f)
+        if isinstance(obj, dict) and "params" in obj and "config" in obj:
+            stored = dict(obj["config"])
+            for k, v in stored.items():
+                if isinstance(v, list):
+                    stored[k] = tuple(v)
+            cfg = PriorConfig(**stored)
+            params = obj["params"]
+        else:
+            cfg = default_cfg or PriorConfig()
+            params = obj
+        pipe = cls(cfg, mesh=mesh)
+        pipe.init(total_steps=1)
+        pipe.state = pipe.state.replace(params=params)
+        return pipe
 
     # — sampling —
     def generate(

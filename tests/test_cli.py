@@ -270,6 +270,65 @@ def test_cli_generate_semantic_recombination(tmp_path):
         assert (out / f"class_{i:04d}" / "0.png").exists()
 
 
+def test_cli_generate_reference_layout_and_metrics_interop(tmp_path, capsys):
+    """``generate --class-names --sub`` writes the reference's
+    ``generated_imgs/<sub>/<class-name>/<j>.png`` tree
+    (``Generation_metrics_sub8.ipynb`` cell 9) and ``metrics --class-names``
+    scores it in TEST-CLASS order (class names that don't sort
+    alphabetically would silently misalign otherwise)."""
+    import json
+    import pickle
+
+    import jax
+
+    from eeg_image_decode_tpu.core.config import PriorConfig
+    from eeg_image_decode_tpu.train.prior import PriorPipe
+
+    rng = np.random.default_rng(1)
+    feats = tmp_path / "f.npz"
+    np.savez(feats,
+             eeg_features_test=rng.normal(size=(3, 64)).astype(np.float32))
+    pipe = PriorPipe(PriorConfig.tiny())
+    pipe.init(total_steps=1)
+    prior_file = tmp_path / "prior.pkl"
+    pipe.save_with_config(str(prior_file))
+
+    names = tmp_path / "names.txt"
+    # deliberately NOT in alphabetical order
+    names.write_text("zebra\naardvark_01\nmug\n")
+
+    out = tmp_path / "generated_imgs"
+    cli.main([
+        "generate", "--eeg-features", str(feats),
+        "--prior-params", str(prior_file), "--tiny",
+        "--class-names", str(names), "--sub", "sub-08",
+        "--output-dir", str(out), "--seeds", "1", "--gen-batch", "2",
+    ])
+    capsys.readouterr()
+    for cls in ("zebra", "aardvark_01", "mug"):
+        assert (out / "sub-08" / cls / "0.png").exists()
+
+    # ground truth = the generated images themselves, in test-class order →
+    # perfect scores only if the metrics reader follows the names file order
+    from PIL import Image
+
+    gt = np.stack([
+        np.asarray(
+            Image.open(out / "sub-08" / cls / "0.png"), np.float32
+        ) / 255.0
+        for cls in ("zebra", "aardvark_01", "mug")
+    ])
+    gt_file = tmp_path / "gt.npy"
+    np.save(gt_file, gt)
+    cli.main([
+        "metrics", "--generated", str(out / "sub-08"),
+        "--ground-truth", str(gt_file),
+        "--class-names", str(names), "--image-size", "16",
+    ])
+    scores = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert scores["pixcorr"] > 0.999  # aligned ⇒ identical pairs
+
+
 def test_cli_generate_refuses_misaligned_captions(tmp_path):
     import pickle
 

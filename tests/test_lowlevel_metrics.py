@@ -44,6 +44,81 @@ def test_lowlevel_full_size_param_shapes():
     assert p["proj_out"]["kernel"].shape == (1, 1, 16, 4)
 
 
+def test_lowlevel_images_to_previews_end_to_end(rng, tmp_path, capsys):
+    """The complete low-level pipeline with no external tooling: image dir →
+    ``latents`` CLI (flax VAE cache builder) → LowLevelTrainer with the
+    frozen-VAE preview decode → PNG previews on disk (the reference needs
+    externally-built ``image_latent_512.pt`` and decodes previews in
+    ``train_vae_latent_512_low_level_no_average.py:309-323``)."""
+    import json
+    import pickle
+
+    from PIL import Image
+
+    from eeg_image_decode_tpu import cli
+    from eeg_image_decode_tpu.gen.vae import VAE, VAEConfig
+
+    # image tree in the THINGS images_set layout (class dirs)
+    img_dir = tmp_path / "images"
+    for c in range(2):
+        d = img_dir / f"class_{c:02d}"
+        d.mkdir(parents=True)
+        for j in range(2):
+            arr = (rng.uniform(size=(128, 128, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{j}.png")
+
+    vae = VAE(VAEConfig.tiny())
+    vparams = vae.init(jax.random.key(0), jnp.zeros((1, 128, 128, 3)))[
+        "params"
+    ]
+    vae_pkl = tmp_path / "vae.pkl"
+    with open(vae_pkl, "wb") as f:
+        pickle.dump(vparams, f)
+
+    cli.main([
+        "latents", "--images-dir", str(img_dir), "--vae-params", str(vae_pkl),
+        "--cache-dir", str(tmp_path / "cache"), "--split", "train",
+        "--tiny", "--image-size", "128", "--batch-size", "2",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_images"] == 4
+    # tiny VAE: 2 stages → 2× downsample; 128² → 64×64×4 NHWC latents
+    assert out["latent_shape"] == [4, 64, 64, 4]
+    import os
+
+    assert os.path.exists(out["cache"])
+    latents = np.load(out["cache"])["latents"]
+
+    # a second run must hit the cache (no recompute): same result
+    cli.main([
+        "latents", "--images-dir", str(img_dir), "--vae-params", str(vae_pkl),
+        "--cache-dir", str(tmp_path / "cache"), "--split", "train",
+        "--tiny", "--image-size", "128", "--batch-size", "2",
+    ])
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["cache"] == out["cache"]
+
+    # train on the produced cache with training-time preview decode
+    cfg = LowLevelConfig(batch_size=4, epochs=2, lr=2e-3, time_proj_dim=8)
+    trainer = LowLevelTrainer(
+        cfg,
+        model=EncoderLowLevel(stage_channels=TINY_STAGES, time_proj_dim=8),
+    )
+    eeg = rng.normal(size=(4, 63, 250)).astype(np.float32)
+    trainer.init(total_steps=2)
+    trainer.set_preview_decoder(
+        vae, vparams, preview_dir=str(tmp_path / "previews"),
+        preview_every=1, n_previews=2,
+    )
+    trainer.train(eeg, latents, log_fn=None)
+    for epoch in (0, 1):
+        p = tmp_path / "previews" / f"epoch_{epoch:04d}" / "00.png"
+        assert p.exists(), p
+        im = np.asarray(Image.open(p))
+        assert im.shape == (128, 128, 3)
+
+
 def test_lowlevel_trainer_l1_decreases(rng):
     cfg = LowLevelConfig(batch_size=8, epochs=6, lr=2e-3, time_proj_dim=8)
     n = 16

@@ -189,3 +189,66 @@ def test_logit_scale_init_value():
 def test_registry_rejects_unknown():
     with pytest.raises(KeyError):
         build_encoder("resnet50")
+
+
+def test_gram_stage1_bn_matches_flax_batchnorm(rng):
+    """GramStage1BN (stats from the stage-1 matmul inputs, an HBM-traffic
+    optimization — docs/PERF.md) must match nn.BatchNorm exactly: identical
+    param/variable tree, train forward, batch_stats updates, gradients, and
+    eval forward."""
+    import jax.tree_util as jtu
+
+    from eeg_image_decode_tpu.models.layers import TSConv
+
+    x = jnp.asarray(rng.normal(size=(8, 15, 64)).astype(np.float32))
+
+    def make(impl):
+        return TSConv(filters=12, temporal_kernel=9, pool_size=16,
+                      pool_stride=4, emb_size=12, spatial_extent=15,
+                      fused_stage1=True, bn1_impl=impl, dropout=0.0)
+
+    m_f, m_g = make("flax"), make("gram")
+    v = m_f.init(jax.random.key(0), x, deterministic=True)
+    v_g = m_g.init(jax.random.key(0), x, deterministic=True)
+    sf = {jtu.keystr(p): a.shape for p, a in jtu.tree_leaves_with_path(v)}
+    sg = {jtu.keystr(p): a.shape for p, a in jtu.tree_leaves_with_path(v_g)}
+    assert sf == sg  # checkpoint-compatible tree
+
+    out_f, upd_f = m_f.apply(v, x, deterministic=False,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.key(1)})
+    out_g, upd_g = m_g.apply(v, x, deterministic=False,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.key(1)})
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_g),
+                               atol=2e-5, rtol=1e-4)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(upd_f["batch_stats"]["bn1"][k]),
+            np.asarray(upd_g["batch_stats"]["bn1"][k]),
+            atol=1e-5, rtol=1e-4,
+        )
+
+    def loss(params, mod):
+        out = mod.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, deterministic=False, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(1)},
+        )[0]
+        return jnp.sum(out * out)
+
+    gf = jax.grad(loss)(v["params"], m_f)
+    gg = jax.grad(loss)(v["params"], m_g)
+    for (pa, a), (pb, b) in zip(
+        sorted(jtu.tree_leaves_with_path(gf), key=lambda t: jtu.keystr(t[0])),
+        sorted(jtu.tree_leaves_with_path(gg), key=lambda t: jtu.keystr(t[0])),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=2e-3,
+                                   err_msg=jtu.keystr(pa))
+
+    np.testing.assert_allclose(
+        np.asarray(m_f.apply(v, x, deterministic=True)),
+        np.asarray(m_g.apply(v, x, deterministic=True)),
+        atol=2e-5, rtol=1e-4,
+    )

@@ -69,6 +69,119 @@ def test_kill_and_resume_reproduces_history(tmp_path):
                                    rtol=1e-6, err_msg=k)
 
 
+def _prior_data(rng):
+    c = rng.normal(size=(64, 24)).astype(np.float32)
+    h = rng.normal(size=(64, 16)).astype(np.float32)
+    return c, h
+
+
+def _prior_pipe():
+    from eeg_image_decode_tpu.core.config import PriorConfig
+    from eeg_image_decode_tpu.train.prior import PriorPipe
+
+    return PriorPipe(PriorConfig(
+        embed_dim=16, cond_dim=24, hidden_dims=(16, 8), time_embed_dim=8,
+        epochs=6, batch_size=16, warmup_steps=4, seed=5,
+    ))
+
+
+def test_prior_kill_and_resume_reproduces_history(tmp_path, rng):
+    """The 150-epoch prior job is now resumable: full PriorState (params +
+    Adam incl. schedule step) round-trips, (seed, epoch)-keyed permutations
+    make the resumed trajectory identical (VERDICT r2 item 4)."""
+    c, h = _prior_data(rng)
+
+    full = _prior_pipe()
+    h_full = full.train(c, h, log_fn=None)
+
+    part = _prior_pipe()
+    # the killed job was LAUNCHED as a 6-epoch run (the LR schedule spans
+    # total_steps of the full job) and dies after epoch 4
+    part.init(total_steps=(64 // 16) * 6)
+    ckpt = Checkpointer(str(tmp_path / "prior" / "ckpt"))
+    part.train(c, h, epochs=4, log_fn=None, checkpointer=ckpt,
+               ckpt_every_epochs=2)
+    ckpt.close()
+
+    resumed = _prior_pipe()
+    ckpt2 = Checkpointer(str(tmp_path / "prior" / "ckpt"))
+    h_res = resumed.train(c, h, log_fn=None, checkpointer=ckpt2, resume=True)
+    ckpt2.close()
+    assert [r["epoch"] for r in h_res] == list(range(6))
+    for e in range(6):
+        np.testing.assert_allclose(
+            h_res[e]["loss"], h_full[e]["loss"], rtol=1e-5,
+            err_msg=f"epoch {e}",
+        )
+
+
+def test_lowlevel_kill_and_resume_reproduces_history(tmp_path, rng):
+    from eeg_image_decode_tpu.core.config import LowLevelConfig
+    from eeg_image_decode_tpu.models.lowlevel import EncoderLowLevel
+    from eeg_image_decode_tpu.train.lowlevel import LowLevelTrainer
+
+    stages = (32, 16, 8, 8, 8, 8)
+    eeg = rng.normal(size=(16, 63, 250)).astype(np.float32)
+    lat = rng.normal(size=(16, 4, 64, 64)).astype(np.float32) * 0.1
+
+    def make():
+        return LowLevelTrainer(
+            LowLevelConfig(batch_size=8, epochs=6, lr=2e-3, time_proj_dim=8),
+            model=EncoderLowLevel(stage_channels=stages, time_proj_dim=8),
+        )
+
+    h_full = make().train(eeg, lat, seed=7, log_fn=None)
+
+    ckpt = Checkpointer(str(tmp_path / "ll" / "ckpt"))
+    part = make()
+    part.init(total_steps=(16 // 8) * 6, seed=7)  # launched as 6 epochs
+    part.train(eeg, lat, seed=7, epochs=4, log_fn=None, checkpointer=ckpt,
+               ckpt_every_epochs=2)
+    ckpt.close()
+
+    ckpt2 = Checkpointer(str(tmp_path / "ll" / "ckpt"))
+    h_res = make().train(eeg, lat, seed=7, log_fn=None, checkpointer=ckpt2,
+                         resume=True)
+    ckpt2.close()
+    assert [r["epoch"] for r in h_res] == list(range(6))
+    for e in range(6):
+        np.testing.assert_allclose(
+            h_res[e]["loss"], h_full[e]["loss"], rtol=1e-5,
+            err_msg=f"epoch {e}",
+        )
+
+
+def test_prior_checkpoint_config_guard(tmp_path, rng):
+    """A config-carrying prior pickle refuses to load into a mismatched
+    architecture with a one-line diff (not a deep flax shape error), and
+    from_checkpoint() reconstructs the right config by itself
+    (VERDICT r2 item 8)."""
+    import pytest
+
+    from eeg_image_decode_tpu.core.config import PriorConfig
+    from eeg_image_decode_tpu.train.prior import PriorPipe
+
+    pipe = _prior_pipe()
+    pipe.init(total_steps=1)
+    path = str(tmp_path / "prior.pkl")
+    pipe.save_with_config(path)
+
+    wrong = PriorPipe(PriorConfig(
+        embed_dim=16, cond_dim=24, hidden_dims=(32, 8), time_embed_dim=8,
+    ))
+    with pytest.raises(ValueError, match="hidden_dims"):
+        wrong.load(path)
+
+    # from_checkpoint ignores a wrong default and rebuilds the stored config
+    rebuilt = PriorPipe.from_checkpoint(
+        path, default_cfg=PriorConfig(hidden_dims=(99,))
+    )
+    assert rebuilt.cfg.hidden_dims == (16, 8)
+    out = rebuilt.generate(rng.normal(size=(2, 24)).astype(np.float32),
+                           num_inference_steps=2)
+    assert out.shape == (2, 16)
+
+
 def test_resume_without_checkpoint_raises(tmp_path):
     trainer, ckpt = _make(tmp_path, "empty")
     with pytest.raises(FileNotFoundError):

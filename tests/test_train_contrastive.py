@@ -212,6 +212,50 @@ def test_streaming_trainer_matches_resident(rng):
         )
 
 
+def test_streaming_bf16_host_dtype_matches_resident(rng):
+    """host_dtype='bfloat16' halves the wire bytes; the trajectory must stay
+    within bf16 input-rounding noise of the resident fp32 path (identical
+    permutations/keys, only the EEG is quantized to bf16 on the host)."""
+    import ml_dtypes
+
+    from eeg_image_decode_tpu.core.config import ATMSConfig
+    from eeg_image_decode_tpu.models import build_encoder
+
+    train, test = make_synthetic_retrieval_data(
+        n_classes=8, images_per_class=2, train_reps=2, n_timepoints=64,
+        clip_dim=32,
+    )
+
+    def make(streaming, host_dtype=None):
+        cfg = ContrastiveTrainConfig(
+            batch_size=16, epochs=3, lr=1e-3, eval_ks=(8,), seed=11,
+            host_dtype=host_dtype,
+        )
+        model = build_encoder(
+            "atms",
+            config=ATMSConfig(seq_len=64, d_model=64, pool_size=16,
+                              pool_stride=4, temporal_kernel=9, proj_dim=32),
+        )
+        return ContrastiveTrainer(model, cfg, train, test,
+                                  streaming=streaming)
+
+    resident = make(False)
+    h_r = resident.fit(log_fn=None)
+    bf16 = make(True, host_dtype="bfloat16")
+    # the loader really stores bf16 (half the gather/transfer bytes)
+    assert bf16.loader.arrays["eeg"].dtype == np.dtype(ml_dtypes.bfloat16)
+    assert bf16.loader.arrays["labels"].dtype == np.int32  # ints untouched
+    h_b = bf16.fit(log_fn=None)
+    bf16.loader.close()
+
+    for a, b in zip(h_r, h_b):
+        # bf16 has ~3 decimal digits; trajectories agree to ~1%
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=2e-2)
+        assert abs(a["train_acc"] - b["train_acc"]) <= 0.15
+    # both converge on the synthetic task
+    assert h_b[-1]["loss"] < h_b[0]["loss"]
+
+
 def test_streaming_trainer_on_mesh(mesh8):
     """Streaming mode composes with dp sharding: batches arrive batch-sharded
     from the loader and the loss trajectory falls."""

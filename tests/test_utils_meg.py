@@ -33,6 +33,89 @@ def test_plot_training_summary(tmp_path):
     assert os.path.getsize(out) > 1000
 
 
+def test_meg_fif_to_pickles_end_to_end(tmp_path, rng, capsys):
+    """The complete THINGS-MEG ingest with no external tooling: a synthetic
+    .fif-shaped fixture (the ``mne.Epochs`` duck interface the notebook
+    reads, ``pre_possess.ipynb`` cells 2-5) → ``scripts/export_meg.py`` per
+    session → concat → ``preprocess-meg`` CLI with the image→concept CSV →
+    reference-layout pickles, with grouping verified by value."""
+    import json
+    import pickle
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from export_meg import concat_epoch_files, export_epochs
+
+    from eeg_image_decode_tpu import cli
+
+    C, T = 6, 40
+    times = np.linspace(-0.1, 1.1, T)
+    # THINGS-like image-level events: concepts 1..5 × 3 images each
+    # (image ids 1..15). Concept 5 is zero-shot: its image 13 repeats
+    # test_reps=4 times; its images 14/15 appear once in train and must be
+    # dropped by the concept-overlap filter. Catch trials sprinkle 999999.
+    image_concepts = np.asarray([1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4,
+                                 5, 5, 5])
+    all_events = ([im + 1 for im in range(12)]      # train images ×1
+                  + [13] * 4                        # zs image ×4
+                  + [14, 15]                        # overlap → dropped
+                  + [999999] * 3)                   # catch
+    order = rng.permutation(len(all_events))
+    events = np.asarray(all_events)[order]
+    # epoch value encodes its event id so grouping is checkable by value
+    data = np.zeros((len(events), C, T), np.float32)
+    data += events[:, None, None].astype(np.float32)
+
+    class FakeEpochs:  # the mne.Epochs duck interface export_meg reads
+        def __init__(self, sl):
+            self._sl = sl
+            self.events = np.stack(
+                [np.zeros(len(events[sl])), np.zeros(len(events[sl])),
+                 events[sl]], axis=1).astype(np.int64)
+            self.times = times
+            self.ch_names = [f"MEG{i:03d}" for i in range(C)]
+
+        def get_data(self):
+            return data[self._sl]
+
+    # two "sessions", exported separately then concatenated
+    half = len(events) // 2
+    s1, s2 = str(tmp_path / "s1.npz"), str(tmp_path / "s2.npz")
+    export_epochs(FakeEpochs(slice(0, half)), s1)
+    export_epochs(FakeEpochs(slice(half, None)), s2)
+    merged = str(tmp_path / "meg_epochs.npz")
+    concat_epoch_files([s1, s2], merged)
+
+    csv = tmp_path / "image_concept_index.csv"
+    csv.write_text("\n".join(str(c) for c in image_concepts))
+
+    out_dir = str(tmp_path / "out")
+    cli.main([
+        "preprocess-meg", "--epochs", merged, "--out", out_dir,
+        "--test-reps", "4", "--train-reps", "3",
+        "--image-concept-csv", str(csv),
+    ])
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    t_in = times[(times >= 0) & (times <= 1.0)]
+    assert info["train_shape"] == [4, 3, 1, C, len(t_in)]
+    assert info["test_shape"] == [1, 1, 4, C, len(t_in)]
+    assert info["n_train_concepts"] == 4
+    assert info["n_test_concepts"] == 1
+
+    with open(f"{out_dir}/preprocessed_meg_train.npy", "rb") as f:
+        tr = pickle.load(f)
+    with open(f"{out_dir}/preprocessed_meg_test.npy", "rb") as f:
+        te = pickle.load(f)
+    # concept c (1..4) holds images 3c-2..3c, in image order
+    for ci in range(4):
+        want = np.asarray([3 * ci + 1, 3 * ci + 2, 3 * ci + 3], np.float32)
+        np.testing.assert_array_equal(tr["meg_data"][ci, :, 0, 0, 0], want)
+    np.testing.assert_array_equal(te["meg_data"][0, 0, :, 0, 0],
+                                  np.full(4, 13.0))
+    assert list(tr["ch_names"]) == [f"MEG{i:03d}" for i in range(C)]
+    np.testing.assert_allclose(tr["times"], t_in)
+
+
 def test_meg_crop_and_split(rng):
     C, T = 16, 120
     times = np.linspace(-0.2, 1.2, T)
