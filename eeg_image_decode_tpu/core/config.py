@@ -96,9 +96,11 @@ class ATMSConfig:
     fused_attention: bool | str = "auto"
     #: fused Pallas tsconv stage-1 ('auto' → TPU only)
     fused_tsconv: bool | str = "auto"
-    #: stage-1 BatchNorm: 'flax' or 'gram' (batch stats computed from the
-    #: stage-1 matmul inputs — models/layers.py::GramStage1BN)
-    tsconv_bn1: str = "flax"
+    #: stage-1 BatchNorm: 'gram' computes batch stats from the stage-1 matmul
+    #: INPUTS (models/layers.py::GramStage1BN — exact-parity-tested vs flax,
+    #: checkpoint-compatible tree, measured +3% flagship throughput on v5e);
+    #: only active on the fused TPU path, 'flax' elsewhere and on demand
+    tsconv_bn1: str = "gram"
 
 
 @dataclass(frozen=True)
