@@ -63,21 +63,30 @@ class RetrievalService:
         k: int = 5,
     ) -> tuple[np.ndarray, np.ndarray]:
         """(B, C, T) EEG → (scores (B, k), gallery indices (B, k)).
-        Pads to ``max_batch`` so every call hits the same compiled program."""
+
+        Requests are chunked by ``max_batch`` (last chunk padded up), so
+        every call hits the one compiled program regardless of request
+        size — same contract as :class:`ReconstructionService`."""
         eeg = np.asarray(eeg, np.float32)
         if np.isscalar(subject_ids):
             subject_ids = np.full(eeg.shape[0], subject_ids)
+        subject_ids = np.asarray(subject_ids, np.int32)
         n = eeg.shape[0]
-        if n > self.max_batch:
-            raise ValueError(f"batch {n} > max_batch {self.max_batch}")
-        pad = self.max_batch - n
-        eeg_p = np.pad(eeg, ((0, pad), (0, 0), (0, 0)))
-        sid_p = np.pad(np.asarray(subject_ids, np.int32), (0, pad))
-        scores, idx = self._query(
-            self.variables, self.gallery, jnp.asarray(eeg_p),
-            jnp.asarray(sid_p), k=k,
-        )
-        return np.asarray(scores)[:n], np.asarray(idx)[:n]
+        all_scores, all_idx = [], []
+        for start in range(0, n, self.max_batch):
+            chunk = eeg[start : start + self.max_batch]
+            sids = subject_ids[start : start + self.max_batch]
+            m = chunk.shape[0]
+            pad = self.max_batch - m
+            eeg_p = np.pad(chunk, ((0, pad), (0, 0), (0, 0)))
+            sid_p = np.pad(sids, (0, pad))
+            scores, idx = self._query(
+                self.variables, self.gallery, jnp.asarray(eeg_p),
+                jnp.asarray(sid_p), k=k,
+            )
+            all_scores.append(np.asarray(scores)[:m])
+            all_idx.append(np.asarray(idx)[:m])
+        return np.concatenate(all_scores), np.concatenate(all_idx)
 
 
 class ReconstructionService:
@@ -175,26 +184,33 @@ class CaptionService:
         *,
         seed: int = 0,
     ) -> list[str]:
-        """(B, C, T) EEG → B caption strings. Pads to ``max_batch`` so every
-        call hits the same compiled programs."""
+        """(B, C, T) EEG → B caption strings. Requests chunk by ``max_batch``
+        (last chunk padded up) so every call hits one compiled program."""
         eeg = np.asarray(eeg, np.float32)
         if np.isscalar(subject_ids):
             subject_ids = np.full(eeg.shape[0], subject_ids)
+        subject_ids = np.asarray(subject_ids, np.int32)
         n = eeg.shape[0]
-        if n > self.max_batch:
-            raise ValueError(f"batch {n} > max_batch {self.max_batch}")
-        pad = self.max_batch - n
-        eeg_p = np.pad(eeg, ((0, pad), (0, 0), (0, 0)))
-        sid_p = np.pad(np.asarray(subject_ids, np.int32), (0, pad))
-        feats = self._encode(
-            self.variables, jnp.asarray(eeg_p), jnp.asarray(sid_p)
-        )
-        embeds = self.prior.generate(feats, key=jax.random.key(seed))
-        grids = self._projector.apply(
-            {"params": self._projector_params}, embeds
-        )
-        tokens = np.asarray(self.captioner.generate(
-            {"params": self.captioner_params}, grids,
-            max_new_tokens=self.max_new_tokens,
-        ))[:n]
-        return [self.tokenizer.decode(row) for row in tokens]
+        out: list[str] = []
+        for start in range(0, n, self.max_batch):
+            chunk = eeg[start : start + self.max_batch]
+            sids = subject_ids[start : start + self.max_batch]
+            m = chunk.shape[0]
+            pad = self.max_batch - m
+            eeg_p = np.pad(chunk, ((0, pad), (0, 0), (0, 0)))
+            sid_p = np.pad(sids, (0, pad))
+            feats = self._encode(
+                self.variables, jnp.asarray(eeg_p), jnp.asarray(sid_p)
+            )
+            embeds = self.prior.generate(
+                feats, key=jax.random.key(seed + start)
+            )
+            grids = self._projector.apply(
+                {"params": self._projector_params}, embeds
+            )
+            tokens = np.asarray(self.captioner.generate(
+                {"params": self.captioner_params}, grids,
+                max_new_tokens=self.max_new_tokens,
+            ))[:m]
+            out.extend(self.tokenizer.decode(row) for row in tokens)
+        return out
