@@ -56,8 +56,17 @@ class GramStage1BN(nn.Module):
 
     @nn.compact
     def __call__(self, y: jax.Array, x2: jax.Array, e: jax.Array, *,
-                 use_running_average: bool) -> jax.Array:
-        p, f = y.shape[-2], y.shape[-1]
+                 use_running_average: bool,
+                 n_pos: int | None = None) -> jax.Array:
+        """``y`` is the stage-1 output either as the 4-D (B, C, P, F)
+        activation or still on the 2-D (B·C, P·F) matmul layout (pass
+        ``n_pos`` then); the 2-D form lets the affine fuse ahead of the
+        relayout."""
+        if y.ndim == 2:
+            assert n_pos is not None
+            p, f = n_pos, y.shape[-1] // n_pos
+        else:
+            p, f = y.shape[-2], y.shape[-1]
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((f,), jnp.float32)
         )
@@ -89,6 +98,12 @@ class GramStage1BN(nn.Module):
                 ra_var.value = m * ra_var.value + (1 - m) * jax.lax.stop_gradient(var)
         mul = scale * jax.lax.rsqrt(var + self.epsilon)
         add = bias - mean * mul
+        if y.ndim == 2:
+            # normalize on the 2-D matmul output (columns c = p·F + f): the
+            # per-feature factors tile across the P positions, so the whole
+            # affine fuses into the matmul epilogue before the 4-D relayout
+            mul = jnp.tile(mul, p)
+            add = jnp.tile(add, p)
         return y * mul.astype(y.dtype) + add.astype(y.dtype)
 
 
@@ -112,8 +127,10 @@ class TSConv(nn.Module):
     #: fuse conv+avg-pool into one dense MXU matmul (see ops/tsconv.py —
     #: fastest of the three formulations); 'auto' → on for TPU, off elsewhere
     fused_stage1: bool | str = "auto"
-    #: 'flax' (nn.BatchNorm) or 'gram' (stats from the stage-1 matmul inputs
-    #: via :class:`GramStage1BN` — requires the fused path; perf experiment)
+    #: 'flax' (nn.BatchNorm), 'gram' (stats from the stage-1 matmul inputs
+    #: via :class:`GramStage1BN`), or 'gram2d' (gram stats + normalize/ELU
+    #: applied on the 2-D matmul layout BEFORE the 4-D relayout); the gram
+    #: variants require the fused path
     bn1_impl: str = "flax"
     dtype: jnp.dtype = jnp.float32
 
@@ -126,7 +143,7 @@ class TSConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool) -> jax.Array:
-        gram_bn = self._use_fused() and self.bn1_impl == "gram"
+        gram_bn = self._use_fused() and self.bn1_impl in ("gram", "gram2d")
         if gram_bn:
             # same math as tsconv_stage1(impl='matmul'), kept open so the
             # matmul inputs (x2, E) feed GramStage1BN's input-side stats
@@ -154,7 +171,19 @@ class TSConv(nn.Module):
             )
             x2 = x.reshape(b_ * c_, t_).astype(self.dtype)
             y = jnp.dot(x2, e, preferred_element_type=jnp.float32)
-            x = y.reshape(b_, c_, n_pos, self.filters).astype(self.dtype)
+            if self.bn1_impl == "gram2d":
+                # BN + ELU while still on the matmul layout: the affine and
+                # the activation fuse into the matmul epilogue, and the 4-D
+                # relayout moves bf16 instead of fp32
+                y = GramStage1BN(momentum=0.9, dtype=jnp.float32,
+                                 name="bn1")(
+                    y, x2, e, use_running_average=deterministic,
+                    n_pos=n_pos,
+                )
+                y = nn.elu(y)
+                x = y.reshape(b_, c_, n_pos, self.filters).astype(self.dtype)
+            else:
+                x = y.reshape(b_, c_, n_pos, self.filters).astype(self.dtype)
         elif self._use_fused():
             from eeg_image_decode_tpu.ops.tsconv import tsconv_stage1
 
@@ -192,16 +221,17 @@ class TSConv(nn.Module):
         # the (B, 63, P, F) activation in fp32 here cost ~35% of the train
         # step on v5e (bf16→fp32 copies + fp32 layout copies, seen in the
         # profiler); elementwise normalize fuses either way.
-        if gram_bn:
-            x = GramStage1BN(momentum=0.9, dtype=self.dtype, name="bn1")(
-                x, x2, e, use_running_average=deterministic
-            )
-        else:
-            x = nn.BatchNorm(
-                use_running_average=deterministic, momentum=0.9,
-                dtype=self.dtype, name="bn1",
-            )(x)
-        x = nn.elu(x)
+        if self.bn1_impl != "gram2d" or not self._use_fused():
+            if gram_bn:
+                x = GramStage1BN(momentum=0.9, dtype=self.dtype, name="bn1")(
+                    x, x2, e, use_running_average=deterministic
+                )
+            else:
+                x = nn.BatchNorm(
+                    use_running_average=deterministic, momentum=0.9,
+                    dtype=self.dtype, name="bn1",
+                )(x)
+            x = nn.elu(x)
         x = nn.Conv(
             self.filters,
             kernel_size=(self.spatial_extent, 1),

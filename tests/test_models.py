@@ -191,9 +191,11 @@ def test_registry_rejects_unknown():
         build_encoder("resnet50")
 
 
-def test_gram_stage1_bn_matches_flax_batchnorm(rng):
+@pytest.mark.parametrize("impl", ["gram", "gram2d"])
+def test_gram_stage1_bn_matches_flax_batchnorm(rng, impl):
     """GramStage1BN (stats from the stage-1 matmul inputs, an HBM-traffic
-    optimization — docs/PERF.md) must match nn.BatchNorm exactly: identical
+    optimization — docs/PERF.md; 'gram2d' additionally normalizes on the
+    2-D matmul layout) must match nn.BatchNorm exactly: identical
     param/variable tree, train forward, batch_stats updates, gradients, and
     eval forward."""
     import jax.tree_util as jtu
@@ -207,7 +209,7 @@ def test_gram_stage1_bn_matches_flax_batchnorm(rng):
                       pool_stride=4, emb_size=12, spatial_extent=15,
                       fused_stage1=True, bn1_impl=impl, dropout=0.0)
 
-    m_f, m_g = make("flax"), make("gram")
+    m_f, m_g = make("flax"), make(impl)
     v = m_f.init(jax.random.key(0), x, deterministic=True)
     v_g = m_g.init(jax.random.key(0), x, deterministic=True)
     sf = {jtu.keystr(p): a.shape for p, a in jtu.tree_leaves_with_path(v)}
