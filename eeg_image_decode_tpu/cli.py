@@ -425,6 +425,81 @@ def cmd_preprocess_meg(args):
     }))
 
 
+def cmd_serve(args):
+    """Serve trained artifacts over HTTP (stdlib daemon, one chip):
+    /v1/retrieve from an orbax run dir + gallery features, plus
+    /v1/reconstruct when prior (+ generator) params are given. See
+    ``eeg_image_decode_tpu/server.py`` for the wire format."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.core.checkpoint import Checkpointer
+    from eeg_image_decode_tpu.core.config import (
+        ATMSConfig,
+        ContrastiveTrainConfig,
+        PriorConfig,
+    )
+    from eeg_image_decode_tpu.data.features import load_features
+    from eeg_image_decode_tpu.models import build_encoder
+    from eeg_image_decode_tpu.serve import ReconstructionService, RetrievalService
+    from eeg_image_decode_tpu.server import EEGDecodeServer
+    from eeg_image_decode_tpu.train.contrastive import create_train_state
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.encoder == "atms":
+        model = build_encoder("atms", config=ATMSConfig(), dtype=dtype)
+    else:
+        model = build_encoder(args.encoder, dtype=dtype)
+    # template state at the advertised input shape, then restore the run
+    sample = jnp.zeros((2, args.channels, args.timepoints))
+    state, _ = create_train_state(
+        model, ContrastiveTrainConfig(encoder=args.encoder), sample,
+        jnp.zeros((2,), jnp.int32),
+    )
+    ckpt = Checkpointer(os.path.join(args.run_dir, "ckpt"))
+    state = ckpt.restore(None, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    feats = load_features(args.features)
+    gallery = feats.get("img_features_test", feats["img_features"])
+    retrieval = RetrievalService(
+        model, variables, gallery, max_batch=args.max_batch
+    )
+
+    reconstruction = None
+    if args.prior_params:
+        from eeg_image_decode_tpu.gen.sdxl import (
+            Generator4Embeds,
+            GeneratorConfig,
+        )
+        from eeg_image_decode_tpu.train.prior import PriorPipe
+
+        pipe = PriorPipe.from_checkpoint(
+            args.prior_params,
+            default_cfg=PriorConfig.tiny() if args.tiny else PriorConfig(),
+        )
+        gen = Generator4Embeds(
+            GeneratorConfig.tiny() if args.tiny else GeneratorConfig()
+        )
+        if args.generator_params:
+            with open(args.generator_params, "rb") as f:
+                gen.load_params(pickle.load(f))
+        else:
+            gen.init(jax.random.key(0))  # random weights: smoke only
+        reconstruction = ReconstructionService(
+            model, variables, pipe, gen, max_batch=args.gen_batch
+        )
+
+    server = EEGDecodeServer(
+        retrieval=retrieval, reconstruction=reconstruction
+    )
+    print(f"serving on {args.host}:{args.port} "
+          f"(reconstruct={'yes' if reconstruction else 'no'})")
+    server.serve_forever(args.host, args.port)
+
+
 def cmd_generate(args):
     """200-class × n-seed image generation from prior-sampled embeddings
     (the reference's ``Generation_metrics_sub8.ipynb`` cell 9 driver)."""
@@ -931,6 +1006,27 @@ def main(argv=None):
     p.add_argument("--sfreq", type=int, default=250)
     p.add_argument("--seed", type=int, default=20200220)
     p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("serve", help="HTTP serving daemon for trained artifacts")
+    p.add_argument("--run-dir", required=True,
+                   help="training run directory (orbax ckpt inside)")
+    p.add_argument("--encoder", default="atms")
+    p.add_argument("--features", required=True,
+                   help=".npz with the gallery CLIP features "
+                        "(img_features_test or img_features)")
+    p.add_argument("--channels", type=int, default=63)
+    p.add_argument("--timepoints", type=int, default=250)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--max-batch", type=int, default=256)
+    p.add_argument("--gen-batch", type=int, default=16)
+    p.add_argument("--prior-params", default=None,
+                   help="enable /v1/reconstruct (pickled prior)")
+    p.add_argument("--generator-params", default=None)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(
         "preprocess-meg",

@@ -1,0 +1,152 @@
+"""HTTP serving daemon tests: JSON + binary payloads, chunked batches,
+error paths, and concurrent requests through the device lock."""
+
+import io
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from eeg_image_decode_tpu.core.config import ContrastiveTrainConfig, PriorConfig
+from eeg_image_decode_tpu.data import make_synthetic_retrieval_data
+from eeg_image_decode_tpu.gen.sdxl import Generator4Embeds, GeneratorConfig
+from eeg_image_decode_tpu.models import build_encoder
+from eeg_image_decode_tpu.serve import ReconstructionService, RetrievalService
+from eeg_image_decode_tpu.server import EEGDecodeServer
+from eeg_image_decode_tpu.train import ContrastiveTrainer
+from eeg_image_decode_tpu.train.prior import PriorPipe
+
+
+def _post(url, body: bytes, ctype: str):
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": ctype}, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def _trained():
+    train, test = make_synthetic_retrieval_data(
+        n_classes=12, images_per_class=2, train_reps=2, clip_dim=64,
+        n_timepoints=64, snr=2.0,
+    )
+    cfg = ContrastiveTrainConfig(
+        encoder="nice", batch_size=24, epochs=4, lr=1e-3, eval_ks=(12,),
+    )
+    model = build_encoder("nice", proj_dim=64, temporal_kernel=9,
+                          pool_size=16, pool_stride=4)
+    trainer = ContrastiveTrainer(model, cfg, train, test)
+    trainer.fit(log_fn=None)
+    return model, trainer, test
+
+
+def test_server_end_to_end():
+    model, trainer, test = _trained()
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    retrieval = RetrievalService(model, variables,
+                                 test.class_img_features(), max_batch=8)
+    prior = PriorPipe(PriorConfig(
+        embed_dim=64, cond_dim=64, hidden_dims=(32, 16), time_embed_dim=16,
+        num_inference_steps=3, guidance_scale=2.0,
+    ))
+    prior.init(total_steps=1)
+    gen = Generator4Embeds(GeneratorConfig.tiny(), dtype=jnp.float32)
+    gen.init(jax.random.key(0))
+    recon = ReconstructionService(model, variables, prior, gen, max_batch=4)
+
+    server = EEGDecodeServer(retrieval=retrieval, reconstruction=recon)
+    port = server.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # healthz
+        with urllib.request.urlopen(f"{base}/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and "retrieval" in health["services"]
+
+        # JSON retrieve, oversized batch (chunked server-side)
+        body = json.dumps({
+            "eeg": np.concatenate([test.eeg] * 2)[:20].tolist(),
+            "subject_ids": [1] * 20,
+            "k": 3,
+        }).encode()
+        status, ctype, out = _post(f"{base}/v1/retrieve", body,
+                                   "application/json")
+        assert status == 200 and "json" in ctype
+        resp = json.loads(out)
+        assert np.asarray(resp["scores"]).shape == (20, 3)
+        # server results == direct service call
+        s_direct, i_direct = retrieval.top_k(
+            np.concatenate([test.eeg] * 2)[:20], np.full(20, 1), k=3
+        )
+        np.testing.assert_allclose(resp["scores"], s_direct, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(resp["indices"], i_direct)
+
+        # binary retrieve (.npz body)
+        buf = io.BytesIO()
+        np.savez(buf, eeg=test.eeg[:4],
+                 subject_ids=np.asarray(test.subject_ids[:4], np.int32),
+                 k=np.asarray(2))
+        status, _, out = _post(f"{base}/v1/retrieve", buf.getvalue(),
+                               "application/octet-stream")
+        assert status == 200
+        assert np.asarray(json.loads(out)["indices"]).shape == (4, 2)
+
+        # reconstruct → npz image bytes
+        buf = io.BytesIO()
+        np.savez(buf, eeg=test.eeg[:2],
+                 subject_ids=np.asarray(test.subject_ids[:2], np.int32))
+        status, ctype, out = _post(f"{base}/v1/reconstruct", buf.getvalue(),
+                                   "application/octet-stream")
+        assert status == 200 and "octet-stream" in ctype
+        with np.load(io.BytesIO(out)) as z:
+            imgs = z["images"]
+        assert imgs.shape == (2, 16, 16, 3)
+        assert imgs.min() >= 0 and imgs.max() <= 1
+
+        # error paths: missing field → 400; unknown route → 404;
+        # unconfigured service → 501
+        status = _err_status(f"{base}/v1/retrieve",
+                             json.dumps({"eeg": [[[0.0]]]}).encode())
+        assert status == 400
+        status = _err_status(f"{base}/v1/nope", b"{}")
+        assert status == 404
+        server2 = EEGDecodeServer(retrieval=retrieval)  # no reconstruction
+        port2 = server2.start()
+        try:
+            buf.seek(0)
+            status = _err_status(
+                f"http://127.0.0.1:{port2}/v1/reconstruct", buf.getvalue(),
+                "application/octet-stream",
+            )
+            assert status == 501
+        finally:
+            server2.stop()
+
+        # concurrency: parallel requests all succeed (device lock serializes)
+        import concurrent.futures
+
+        def one(i):
+            b = json.dumps({"eeg": test.eeg[i:i + 2].tolist(),
+                            "subject_ids": [1, 1], "k": 2}).encode()
+            s, _, o = _post(f"{base}/v1/retrieve", b, "application/json")
+            return s, json.loads(o)["indices"]
+
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            results = list(ex.map(one, range(6)))
+        assert all(s == 200 for s, _ in results)
+    finally:
+        server.stop()
+
+
+def _err_status(url, body, ctype="application/json"):
+    try:
+        _post(url, body, ctype)
+        return 200
+    except urllib.error.HTTPError as e:
+        return e.code
