@@ -55,14 +55,23 @@ class GramStage1BN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, y: jax.Array, x2: jax.Array, e: jax.Array, *,
+    def __call__(self, y: jax.Array | None, x2: jax.Array, e: jax.Array, *,
                  use_running_average: bool,
-                 n_pos: int | None = None) -> jax.Array:
+                 n_pos: int | None = None,
+                 return_affine: bool = False):
         """``y`` is the stage-1 output either as the 4-D (B, C, P, F)
         activation or still on the 2-D (B·C, P·F) matmul layout (pass
         ``n_pos`` then); the 2-D form lets the affine fuse ahead of the
-        relayout."""
-        if y.ndim == 2:
+        relayout. With ``return_affine`` the per-feature ``(mul, add)``
+        fp32 vectors are returned instead of a normalized ``y`` (pass
+        ``y=None``) — the caller folds them into the matmul itself
+        (``bn1_impl='gramfold'``: E's columns absorb ``mul`` and ``add``
+        becomes the matmul bias, so no normalize pass ever touches the
+        activation)."""
+        if y is None:
+            assert n_pos is not None and return_affine
+            p, f = n_pos, e.shape[-1] // n_pos
+        elif y.ndim == 2:
             assert n_pos is not None
             p, f = n_pos, y.shape[-1] // n_pos
         else:
@@ -98,6 +107,8 @@ class GramStage1BN(nn.Module):
                 ra_var.value = m * ra_var.value + (1 - m) * jax.lax.stop_gradient(var)
         mul = scale * jax.lax.rsqrt(var + self.epsilon)
         add = bias - mean * mul
+        if return_affine:
+            return mul, add
         if y.ndim == 2:
             # normalize on the 2-D matmul output (columns c = p·F + f): the
             # per-feature factors tile across the P positions, so the whole
@@ -128,9 +139,11 @@ class TSConv(nn.Module):
     #: fastest of the three formulations); 'auto' → on for TPU, off elsewhere
     fused_stage1: bool | str = "auto"
     #: 'flax' (nn.BatchNorm), 'gram' (stats from the stage-1 matmul inputs
-    #: via :class:`GramStage1BN`), or 'gram2d' (gram stats + normalize/ELU
-    #: applied on the 2-D matmul layout BEFORE the 4-D relayout); the gram
-    #: variants require the fused path
+    #: via :class:`GramStage1BN`), 'gram2d' (gram stats + normalize/ELU on
+    #: the 2-D matmul layout), or 'gramfold' (gram stats folded INTO the
+    #: stage-1 matmul: E columns absorb the scale, the shift rides as the
+    #: matmul bias — no normalize pass over the activation at all); the
+    #: gram variants require the fused path
     bn1_impl: str = "flax"
     dtype: jnp.dtype = jnp.float32
 
@@ -143,7 +156,9 @@ class TSConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool) -> jax.Array:
-        gram_bn = self._use_fused() and self.bn1_impl in ("gram", "gram2d")
+        gram_bn = self._use_fused() and self.bn1_impl in (
+            "gram", "gram2d", "gramfold"
+        )
         if gram_bn:
             # same math as tsconv_stage1(impl='matmul'), kept open so the
             # matmul inputs (x2, E) feed GramStage1BN's input-side stats
@@ -170,8 +185,27 @@ class TSConv(nn.Module):
                 self.pool_stride,
             )
             x2 = x.reshape(b_ * c_, t_).astype(self.dtype)
-            y = jnp.dot(x2, e, preferred_element_type=jnp.float32)
-            if self.bn1_impl == "gram2d":
+            if self.bn1_impl == "gramfold":
+                # stats first (small Gram matmuls on x2/E), then fold the
+                # affine into the big matmul: columns of E absorb `mul`,
+                # `add` rides as the bias in the epilogue — the stage-1
+                # output comes out of the MXU already normalized
+                mul, add = GramStage1BN(
+                    momentum=0.9, dtype=jnp.float32, name="bn1"
+                )(None, x2, e, use_running_average=deterministic,
+                  n_pos=n_pos, return_affine=True)
+                mul_col = jnp.tile(mul, n_pos)
+                add_col = jnp.tile(add, n_pos)
+                e_eff = (e.astype(jnp.float32)
+                         * mul_col[None, :]).astype(self.dtype)
+                y = jnp.dot(x2, e_eff, preferred_element_type=jnp.float32)
+                y = y + add_col[None, :]
+                x = y.reshape(
+                    b_, c_, n_pos, self.filters
+                ).astype(self.dtype)
+                x = nn.elu(x)
+            elif self.bn1_impl == "gram2d":
+                y = jnp.dot(x2, e, preferred_element_type=jnp.float32)
                 # BN + ELU while still on the matmul layout: the affine and
                 # the activation fuse into the matmul epilogue, and the 4-D
                 # relayout moves bf16 instead of fp32
@@ -182,7 +216,8 @@ class TSConv(nn.Module):
                 )
                 y = nn.elu(y)
                 x = y.reshape(b_, c_, n_pos, self.filters).astype(self.dtype)
-            else:
+            else:  # 'gram': BN applied on the 4-D activation below
+                y = jnp.dot(x2, e, preferred_element_type=jnp.float32)
                 x = y.reshape(b_, c_, n_pos, self.filters).astype(self.dtype)
         elif self._use_fused():
             from eeg_image_decode_tpu.ops.tsconv import tsconv_stage1
@@ -221,7 +256,7 @@ class TSConv(nn.Module):
         # the (B, 63, P, F) activation in fp32 here cost ~35% of the train
         # step on v5e (bf16→fp32 copies + fp32 layout copies, seen in the
         # profiler); elementwise normalize fuses either way.
-        if self.bn1_impl != "gram2d" or not self._use_fused():
+        if self.bn1_impl not in ("gram2d", "gramfold") or not self._use_fused():
             if gram_bn:
                 x = GramStage1BN(momentum=0.9, dtype=self.dtype, name="bn1")(
                     x, x2, e, use_running_average=deterministic

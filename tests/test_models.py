@@ -191,7 +191,7 @@ def test_registry_rejects_unknown():
         build_encoder("resnet50")
 
 
-@pytest.mark.parametrize("impl", ["gram", "gram2d"])
+@pytest.mark.parametrize("impl", ["gram", "gram2d", "gramfold"])
 def test_gram_stage1_bn_matches_flax_batchnorm(rng, impl):
     """GramStage1BN (stats from the stage-1 matmul inputs, an HBM-traffic
     optimization — docs/PERF.md; 'gram2d' additionally normalizes on the
