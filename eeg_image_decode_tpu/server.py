@@ -139,8 +139,7 @@ class EEGDecodeServer:
                 if self.path == "/healthz":
                     services = [
                         n for n in ("retrieval", "reconstruction", "caption")
-                        if getattr(server, n if n != "reconstruction"
-                                   else "reconstruction") is not None
+                        if getattr(server, n) is not None
                     ]
                     self._send(
                         200,
