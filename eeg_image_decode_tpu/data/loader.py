@@ -114,7 +114,15 @@ class PrefetchLoader:
 
     def _quiesce(self) -> None:
         """Wait out every outstanding gather and device transfer so the
-        staging slots are safe to rewrite (start of each epoch)."""
+        staging slots are safe to rewrite (start of each epoch).
+
+        ``block_until_ready`` is the correct PJRT barrier for transfer
+        completion on real TPU hosts. (Known dev-harness caveat: this
+        machine's remote-device runtime can return early from
+        block_until_ready when several *executions* are queued — see
+        docs/PERF.md. Streaming correctness is additionally pinned by the
+        loss-trajectory parity tests, which run where the barrier is
+        sound.)"""
         for tickets in self._pending.values():
             for t in tickets:
                 self._pool.wait(t)

@@ -91,12 +91,18 @@ class RetrievalService:
 
 class ReconstructionService:
     def __init__(self, model, variables, prior_pipe, generator, *,
-                 max_batch: int = 16):
+                 max_batch: int = 16, fused: bool = True):
+        """``fused=True`` (default) runs encoder → prior CFG scan → SDXL
+        UNet steps → VAE decode as ONE jitted program per chunk instead of
+        three: one host→device round trip per chunk instead of three, and
+        XLA schedules across the stage boundaries. The staged path is kept
+        (``fused=False``) and produces identical images (tested)."""
         self.model = model
         self.variables = variables
         self.prior = prior_pipe
         self.generator = generator
         self.max_batch = max_batch
+        self.fused = fused
 
         @jax.jit
         def encode(variables, eeg, subject_ids):
@@ -106,6 +112,60 @@ class ReconstructionService:
             return feats.astype(jnp.float32)
 
         self._encode = encode
+        self._fused_fn = None  # built lazily: prior state may load later
+
+    def _build_fused(self):
+        from eeg_image_decode_tpu.gen.sdxl import _generate_jit
+        from eeg_image_decode_tpu.ops.ddpm import make_cfg_sampler
+
+        pcfg = self.prior.cfg
+        gcfg = self.generator.config
+        model = self.model
+        prior_model = self.prior.model
+        schedule = self.prior.schedule
+
+        def fused(variables, prior_params, gen_params, text, eeg,
+                  subject_ids, k_prior, k_gen):
+            feats, _ = model.apply(
+                variables, eeg, subject_ids, deterministic=True
+            )
+            feats = feats.astype(jnp.float32)
+            sampler = make_cfg_sampler(
+                lambda x, t, cond, mask: prior_model.apply(
+                    {"params": prior_params}, x, t, cond, mask,
+                    deterministic=True,
+                ),
+                schedule,
+                num_inference_steps=pcfg.num_inference_steps,
+                guidance_scale=pcfg.guidance_scale,
+            )
+            embeds = sampler(
+                k_prior, feats, (feats.shape[0], pcfg.embed_dim)
+            )
+            ctx, pooled = text
+            return _generate_jit(
+                self.generator, gcfg.num_inference_steps,
+                float(gcfg.guidance_scale), None, True,
+                gen_params, embeds, ctx, pooled, None, k_gen,
+            )
+
+        self._fused_fn = jax.jit(fused)
+
+    def _default_text(self, b: int):
+        gcfg = self.generator.config
+        dt = getattr(self.generator, "_default_text", None)
+        if dt is not None:
+            ctx0, pooled0 = dt
+            ctx = jnp.broadcast_to(ctx0, (b, *ctx0.shape[1:]))
+            pooled = (
+                None if pooled0 is None
+                else jnp.broadcast_to(pooled0, (b, pooled0.shape[-1]))
+            )
+            return ctx, pooled
+        return (
+            jnp.zeros((b, gcfg.text_len, gcfg.unet.cross_attention_dim)),
+            None,
+        )
 
     def reconstruct(
         self,
@@ -133,15 +193,23 @@ class ReconstructionService:
             pad = self.max_batch - m
             eeg_p = np.pad(chunk, ((0, pad), (0, 0), (0, 0)))
             sid_p = np.pad(sids, (0, pad))
-            feats = self._encode(
-                self.variables, jnp.asarray(eeg_p), jnp.asarray(sid_p)
-            )
-            embeds = self.prior.generate(
-                feats, key=jax.random.key(seed + 2 * start)
-            )
-            imgs = self.generator.generate(
-                embeds, key=jax.random.key(seed + 2 * start + 1)
-            )
+            k_prior = jax.random.key(seed + 2 * start)
+            k_gen = jax.random.key(seed + 2 * start + 1)
+            if self.fused:
+                if self._fused_fn is None:
+                    self._build_fused()
+                imgs = self._fused_fn(
+                    self.variables, self.prior.state.params,
+                    self.generator.params,
+                    self._default_text(self.max_batch),
+                    jnp.asarray(eeg_p), jnp.asarray(sid_p), k_prior, k_gen,
+                )
+            else:
+                feats = self._encode(
+                    self.variables, jnp.asarray(eeg_p), jnp.asarray(sid_p)
+                )
+                embeds = self.prior.generate(feats, key=k_prior)
+                imgs = self.generator.generate(embeds, key=k_gen)
             out.append(np.asarray(imgs)[:m])
         return np.concatenate(out, axis=0)
 

@@ -37,7 +37,12 @@ class StepTimer:
 
     def stop(self, sync_value=None) -> float:
         if sync_value is not None:
-            jax.block_until_ready(sync_value)
+            # host readback, not block_until_ready: with several dispatches
+            # in flight, block_until_ready can return before queued work
+            # finishes on remote-device runtimes (measured on this dev
+            # harness); a device_get cannot. Pass a SMALL value (a scalar
+            # loss) so the transfer itself is negligible.
+            jax.device_get(sync_value)
         dt = time.perf_counter() - self._t0
         self.times.append(dt)
         return dt

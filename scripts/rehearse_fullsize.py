@@ -101,18 +101,33 @@ def n_params(tree) -> float:
                for v in jax.tree_util.tree_leaves(tree)) / 1e9
 
 
+def _sync(out):
+    """Force completion with a HOST READBACK of the first output leaf.
+
+    ``jax.block_until_ready`` is not a reliable sync on this machine's
+    remote-device runtime (with several dispatches in flight it can return
+    before the queued work finishes — measured in round 3: 10 queued
+    full-size UNet forwards "done" in 16 ms wall vs 168 ms traced device
+    time). A readback cannot lie. Wall numbers here therefore include one
+    ~25 ms host↔device round trip on this harness — per-op device time
+    comes from the xplane traces (docs/PERF.md), not from these lines.
+    """
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(jax.device_get(leaf), np.float32)
+
+
 def timed(label, fn, *args, iters=3):
     t0 = time.perf_counter()
-    out = jax.block_until_ready(fn(*args))
+    out = fn(*args)
+    flat = _sync(out)
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jax.block_until_ready(fn(*args))
+        flat = _sync(fn(*args))
     steady = (time.perf_counter() - t0) / iters
-    flat = np.asarray(jax.tree_util.tree_leaves(out)[0], np.float32)
     assert np.all(np.isfinite(flat)), f"{label}: non-finite output"
-    line = (f"{label}: compile {compile_s:.1f}s, steady {steady * 1e3:.1f} ms,"
-            f" finite ✓")
+    line = (f"{label}: compile {compile_s:.1f}s, steady {steady * 1e3:.1f} ms"
+            f" wall (incl. ~25 ms harness dispatch), finite ✓")
     print(line, flush=True)
     RESULTS.append(line)
     return out

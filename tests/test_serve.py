@@ -101,14 +101,39 @@ def test_reconstruction_service_chunks_oversized_requests():
     )
     # warm the compiled shape with an in-budget request
     first = svc.reconstruct(test.eeg[:2], test.subject_ids[:2])
-    traces_after_warm = svc._encode._cache_size()
+    traces_after_warm = svc._fused_fn._cache_size()
     # 10 = 2.5 × max_batch → 3 chunks (4, 4, 2-padded-to-4)
     imgs = svc.reconstruct(test.eeg[:10], test.subject_ids[:10])
     assert imgs.shape == (10, 16, 16, 3)
-    assert svc._encode._cache_size() == traces_after_warm == 1
+    assert svc._fused_fn._cache_size() == traces_after_warm == 1
     # chunking must not change per-sample results vs a small request
     # (same chunk-relative seed → first chunk identical)
     np.testing.assert_allclose(imgs[:2], first, rtol=1e-5, atol=1e-5)
+
+
+def test_reconstruction_fused_matches_staged():
+    """The fused one-dispatch path (encoder → prior scan → UNet steps → VAE
+    in a single jit) must produce the same images as the three-dispatch
+    staged path — same keys, same math, only the jit boundaries differ."""
+    model, trainer, train, test = _trained()
+    prior = PriorPipe(PriorConfig(
+        embed_dim=64, cond_dim=64, hidden_dims=(32, 16), time_embed_dim=16,
+        epochs=2, batch_size=16, warmup_steps=2, num_inference_steps=3,
+        guidance_scale=2.0,
+    ))
+    prior.init(total_steps=1)
+    gen = Generator4Embeds(GeneratorConfig.tiny(), dtype=jnp.float32)
+    gen.init(jax.random.key(0))
+    common = dict(
+        variables={"params": trainer.state.params,
+                   "batch_stats": trainer.state.batch_stats},
+        prior_pipe=prior, generator=gen, max_batch=4,
+    )
+    svc_fused = ReconstructionService(model, fused=True, **common)
+    svc_staged = ReconstructionService(model, fused=False, **common)
+    a = svc_fused.reconstruct(test.eeg[:6], test.subject_ids[:6], seed=7)
+    b = svc_staged.reconstruct(test.eeg[:6], test.subject_ids[:6], seed=7)
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
 
 
 def test_caption_service_chain():
