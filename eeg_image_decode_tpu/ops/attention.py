@@ -34,10 +34,11 @@ import jax.numpy as jnp
 # Batch-tile rows per grid step, tuned on v5e with scripts/bench_attention.py
 # per MODE: the training path (in-kernel PRNG dropout, fwd+bwd) wins at 16
 # (flagship B=1024 fwd+bwd: bt=8 2.81 ms, 16 2.52, 32 2.87, 64 2.47 — 16
-# taken, within noise of 64 at a quarter of the VMEM/compile), while the
-# dropout-free forward (eval feature extraction) REGRESSED at 16 and keeps 8
-# (standalone isolated runs: 6.18M samples/s at 8 vs 4.45M at 16).
-# fp32 halves the tile.
+# taken, within noise of 64 at a quarter of the VMEM/compile). The
+# dropout-free forward keeps 8: a readback-synced interleaved A/B of the
+# full 66160-sample extraction (tile 8: 350/355/342k samples/s, tile 16:
+# 359/350/353k) shows the two within noise, so the smaller tile stays for
+# its lower VMEM footprint. fp32 halves the tile.
 BLOCK_BT_TRAIN_BF16 = 16
 BLOCK_BT_EVAL_BF16 = 8
 BLOCK_BT_FP32 = 4
