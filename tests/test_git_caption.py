@@ -61,6 +61,22 @@ def test_greedy_generate():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
 
+def test_generate_is_one_cached_program():
+    """The decode loop must compile ONCE per (config, budget, shapes) —
+    eager per-op dispatch made the full-size decode 944 ms vs 34 ms jitted
+    on a remote-device host (docs/PERF.md)."""
+    from eeg_image_decode_tpu.models.git_caption import _decode_jit
+
+    cfg, model, v, vis, _ = _tiny()
+    _decode_jit._clear_cache()
+    model.generate(v, vis, max_new_tokens=5)
+    assert _decode_jit._cache_size() == 1
+    model.generate(v, vis, max_new_tokens=5)  # same shapes → no retrace
+    assert _decode_jit._cache_size() == 1
+    model.generate(v, vis, max_new_tokens=4)  # new budget → one new trace
+    assert _decode_jit._cache_size() == 2
+
+
 def test_pixel_projector_learns_mapping(rng):
     """Train the adapter with MSE exactly like image_adapter.ipynb cell 3:
     CLIP ViT-H embedding → GIT visual token grid. The target is produced by
