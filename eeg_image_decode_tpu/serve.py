@@ -84,9 +84,14 @@ class RetrievalService:
                 self.variables, self.gallery, jnp.asarray(eeg_p),
                 jnp.asarray(sid_p), k=k,
             )
-            all_scores.append(np.asarray(scores)[:m])
-            all_idx.append(np.asarray(idx)[:m])
-        return np.concatenate(all_scores), np.concatenate(all_idx)
+            # keep device futures; materialize after the loop so chunk i's
+            # readback overlaps chunk i+1's compute (dispatch is async)
+            all_scores.append((scores, m))
+            all_idx.append((idx, m))
+        return (
+            np.concatenate([np.asarray(s)[:m] for s, m in all_scores]),
+            np.concatenate([np.asarray(i)[:m] for i, m in all_idx]),
+        )
 
 
 class ReconstructionService:
@@ -210,8 +215,11 @@ class ReconstructionService:
                 )
                 embeds = self.prior.generate(feats, key=k_prior)
                 imgs = self.generator.generate(embeds, key=k_gen)
-            out.append(np.asarray(imgs)[:m])
-        return np.concatenate(out, axis=0)
+            # device future, not np.asarray: materializing after the loop
+            # lets chunk i's ~12 MB image readback overlap chunk i+1's
+            # compute (dispatch is async)
+            out.append((imgs, m))
+        return np.concatenate([np.asarray(im)[:m] for im, m in out], axis=0)
 
 
 class CaptionService:
