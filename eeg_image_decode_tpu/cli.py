@@ -747,6 +747,115 @@ def cmd_caption(args):
     print(f"wrote {n} captions to {args.out}")
 
 
+def _load_embedding_array(path: str) -> np.ndarray:
+    """(N, D) embeddings from ``.npy``/``.npz`` (named key preferred)."""
+    d = np.load(path)
+    if hasattr(d, "files"):
+        for k in ("img_features", "clip_embeds"):
+            if k in d.files:
+                return np.asarray(d[k], np.float32)
+        return np.asarray(d[d.files[0]], np.float32)
+    return np.asarray(d, np.float32)
+
+
+def _compute_git_grids(args, images_dir: str, *, split: str) -> np.ndarray:
+    """Images → GIT ViT-L visual-token grids through the native flax tower,
+    content-key cached (the reference's ``ViT-L-14_features_GIT_*.pt``)."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.data.features import (
+        FlaxCLIPFeatureEncoder,
+        load_or_compute_git_grids,
+    )
+    from eeg_image_decode_tpu.models.clip_vit import (
+        CLIPVisionConfig,
+        CLIPVisionTower,
+    )
+
+    cfg = (CLIPVisionConfig.tiny() if args.tiny
+           else CLIPVisionConfig.git_vit_l_14())
+    tower = CLIPVisionTower(
+        cfg, dtype=jnp.float32 if args.tiny else jnp.bfloat16
+    )
+    with open(args.git_vision_params, "rb") as f:
+        vparams = pickle.load(f)
+    enc = FlaxCLIPFeatureEncoder(tower, vparams)
+    paths = _list_image_files(images_dir)
+    return load_or_compute_git_grids(
+        args.cache_dir, split, paths, flax_encoder=enc,
+        batch_size=args.grid_batch,
+    )
+
+
+def cmd_train_adapter(args):
+    """Train the PixelProjector captioning adapter — the reference's
+    ``Generation/image_adapter.ipynb``: ViT-H CLIP image embeddings → GIT's
+    frozen ViT-L visual-token grids, MSE, AdamW lr 1e-3, batch 32, 30 epochs
+    bf16 (cell 3), saved as the ``PixelProjector_best.bin`` analogue (cell 4).
+    Grid targets come from ``--grids`` (precomputed cache) or are encoded
+    natively from ``--images-dir`` through the flax GIT vision tower."""
+    import pickle
+
+    from eeg_image_decode_tpu.train.adapters import (
+        AdapterTrainConfig,
+        evaluate_pixel_projector,
+        train_pixel_projector,
+    )
+
+    embeds = _load_embedding_array(args.embeddings)
+    if args.grids:
+        d = np.load(args.grids)
+        key = ("grids" if hasattr(d, "files") and "grids" in d.files
+               else d.files[0] if hasattr(d, "files") else None)
+        grids = np.asarray(d[key] if key else d, np.float32)
+    elif args.images_dir and args.git_vision_params:
+        grids = _compute_git_grids(args, args.images_dir, split="train")
+    else:
+        raise SystemExit(
+            "need --grids g.npz, or --images-dir + --git-vision-params to "
+            "encode the GIT visual-token grids natively (see "
+            "data.features.load_or_compute_git_grids)"
+        )
+    if grids.shape[0] != embeds.shape[0]:
+        raise SystemExit(
+            f"embeddings ({embeds.shape[0]}) and grids ({grids.shape[0]}) "
+            "counts differ — they must describe the same image list"
+        )
+
+    cfg = AdapterTrainConfig(
+        epochs=args.epochs or 30, batch_size=args.batch_size or 32,
+        lr=args.lr or 1e-3, seed=args.seed,
+    )
+    params, losses = train_pixel_projector(embeds, grids, cfg)
+    out = args.out or os.path.join(args.output_dir, "pixel_projector.pkl")
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+    with open(out, "wb") as f:
+        pickle.dump(params, f)
+
+    result = {"out": out, "epochs": cfg.epochs,
+              "final_train_loss": losses[-1]}
+    if args.test_embeddings:
+        test_e = _load_embedding_array(args.test_embeddings)
+        if args.test_grids:
+            d = np.load(args.test_grids)
+            test_g = np.asarray(
+                d["grids"] if hasattr(d, "files") and "grids" in d.files
+                else d[d.files[0]] if hasattr(d, "files") else d, np.float32,
+            )
+        elif args.test_images_dir and args.git_vision_params:
+            test_g = _compute_git_grids(
+                args, args.test_images_dir, split="test"
+            )
+        else:
+            raise SystemExit(
+                "--test-embeddings needs --test-grids or --test-images-dir"
+            )
+        result["test_mse"] = evaluate_pixel_projector(params, test_e, test_g)
+    print(json.dumps(result))
+
+
 def _load_image_batch(path: str, *, seed: int, size: int,
                       class_names: list[str] | None = None) -> np.ndarray:
     """Images in [0,1] NHWC from a ``.npy``/``.npz`` array, a ``cmd_generate``
@@ -1098,6 +1207,41 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true",
                    help="tiny GIT config (tests/smoke)")
     p.set_defaults(fn=cmd_caption)
+
+    p = sub.add_parser(
+        "train-adapter",
+        help="train the PixelProjector captioning adapter "
+             "(image_adapter.ipynb)",
+    )
+    p.add_argument("--embeddings", required=True,
+                   help=".npy/.npz of ViT-H CLIP image embeddings (the EEG "
+                        "encoder's target space)")
+    p.add_argument("--grids", default=None,
+                   help=".npz of GIT ViT-L visual-token grids (N, 257, 1024)")
+    p.add_argument("--images-dir", default=None,
+                   help="encode the grids natively from these images "
+                        "(needs --git-vision-params)")
+    p.add_argument("--git-vision-params", default=None,
+                   help="pickled flax params for GIT's CLIP ViT-L vision "
+                        "tower (utils.convert_clip.convert_hf_clip_vision)")
+    p.add_argument("--test-embeddings", default=None,
+                   help="held-out embeddings for a final test MSE")
+    p.add_argument("--test-grids", default=None)
+    p.add_argument("--test-images-dir", default=None)
+    p.add_argument("--cache-dir", default="cache")
+    p.add_argument("--grid-batch", type=int, default=20,
+                   help="vision-tower encode batch size")
+    p.add_argument("--epochs", type=int, default=None, help="default 30")
+    p.add_argument("--batch-size", type=int, default=None, help="default 32")
+    p.add_argument("--lr", type=float, default=None, help="default 1e-3")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None,
+                   help="output pickle (default <output-dir>/"
+                        "pixel_projector.pkl)")
+    p.add_argument("--output-dir", default="./runs")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny vision config (tests/smoke)")
+    p.set_defaults(fn=cmd_train_adapter)
 
     p = sub.add_parser("metrics", help="reconstruction metric table")
     p.add_argument("--generated", required=True,

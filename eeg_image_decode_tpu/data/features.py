@@ -116,6 +116,36 @@ class FlaxCLIPFeatureEncoder:
             chunks.append(np.asarray(fwd(jnp.asarray(imgs)))[: len(batch)])
         return np.concatenate(chunks, 0).astype(np.float32)
 
+    def encode_grids(self, image_paths: list[str], *,
+                     batch_size: int = 20) -> np.ndarray:
+        """Images → (N, 1+grid², width) visual-token grids (``return_grid``).
+
+        The GIT adapter's regression target: the reference feeds images
+        through GIT's frozen CLIP ViT-L tower and trains ``PixelProjector``
+        to hit those grids (``Generation/image_adapter.ipynb`` cell 3)."""
+        import jax
+        import jax.numpy as jnp
+
+        from eeg_image_decode_tpu.models.clip_vit import clip_preprocess
+
+        @jax.jit
+        def fwd(imgs):
+            return self.vision_tower.apply(
+                {"params": self.vision_params}, clip_preprocess(imgs),
+                return_grid=True,
+            )
+
+        chunks = []
+        for i in range(0, len(image_paths), batch_size):
+            batch = image_paths[i : i + batch_size]
+            imgs = self._load_images(batch)
+            if len(batch) < batch_size:  # pad: one trace per batch size
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[-1:], batch_size - len(batch), 0)]
+                )
+            chunks.append(np.asarray(fwd(jnp.asarray(imgs)))[: len(batch)])
+        return np.concatenate(chunks, 0).astype(np.float32)
+
     def encode_texts(self, prompts: list[str]) -> np.ndarray:
         import jax
         import jax.numpy as jnp
@@ -216,6 +246,29 @@ def load_or_compute_vae_latents(
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, latents=latents)
     return latents
+
+
+def load_or_compute_git_grids(
+    cache_dir: str,
+    split: str,
+    image_paths: list[str],
+    *,
+    flax_encoder: "FlaxCLIPFeatureEncoder",
+    batch_size: int = 20,
+) -> np.ndarray:
+    """Content-keyed cache-or-encode for GIT visual-token grids — the
+    production step for the reference's external
+    ``ViT-L-14_features_GIT_{train,test}.pt`` caches
+    (``Generation/image_adapter.ipynb`` cell 1), which that repo consumes
+    but never builds. ``flax_encoder`` must wrap GIT's frozen CLIP ViT-L
+    vision tower (``CLIPVisionConfig.git_vit_l_14()``)."""
+    path = cache_path(cache_dir, "ViT-L-14-GIT-grid", split, image_paths)
+    if os.path.exists(path):
+        return load_features(path)["grids"]
+    grids = flax_encoder.encode_grids(image_paths, batch_size=batch_size)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, grids=grids)
+    return grids
 
 
 def load_or_compute_clip_features(

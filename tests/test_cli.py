@@ -351,3 +351,101 @@ def test_cli_generate_refuses_misaligned_captions(tmp_path):
                   "--prior-params", str(prior_file), "--tiny",
                   "--captions-file", str(caps),
                   "--output-dir", str(tmp_path / "o")])
+
+
+# ———————————————— train-adapter subcommand (image_adapter.ipynb) ————————————————
+
+
+def test_cli_train_adapter_precomputed_grids(tmp_path, capsys):
+    """`train-adapter` on precomputed embeddings + grids: trains, saves the
+    params pickle, reports a held-out test MSE, and the loss decreases."""
+    import json as _json
+    import pickle
+
+    rng = np.random.default_rng(0)
+    emb = tmp_path / "emb.npz"
+    grids = tmp_path / "grids.npz"
+    # learnable mapping: grids derived linearly from the embeddings
+    x = rng.normal(size=(12, 8)).astype(np.float32)
+    w = rng.normal(size=(8, 3 * 16)).astype(np.float32) * 0.1
+    y = (x @ w).reshape(12, 3, 16)
+    np.savez(emb, img_features=x)
+    np.savez(grids, grids=y)
+    out = tmp_path / "proj.pkl"
+    cli.main([
+        "train-adapter", "--embeddings", str(emb), "--grids", str(grids),
+        "--test-embeddings", str(emb), "--test-grids", str(grids),
+        "--epochs", "5", "--batch-size", "4", "--out", str(out),
+    ])
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.exists(out)
+    with open(out, "rb") as f:
+        params = pickle.load(f)
+    assert "tokens" in params or len(params) > 0
+    assert np.isfinite(res["final_train_loss"])
+    assert res["test_mse"] <= res["final_train_loss"] * 2 + 1e-3
+
+
+def test_cli_train_adapter_mismatched_counts(tmp_path):
+    emb = tmp_path / "emb.npy"
+    grids = tmp_path / "grids.npz"
+    np.save(emb, np.zeros((4, 8), np.float32))
+    np.savez(grids, grids=np.zeros((5, 3, 16), np.float32))
+    with pytest.raises(SystemExit, match="counts differ"):
+        cli.main(["train-adapter", "--embeddings", str(emb),
+                  "--grids", str(grids), "--epochs", "1",
+                  "--batch-size", "2", "--out", str(tmp_path / "p.pkl")])
+
+
+def test_cli_train_adapter_from_images(tmp_path, capsys):
+    """`train-adapter --images-dir`: grids encoded natively through the tiny
+    flax GIT vision tower and content-key cached, then the adapter trains
+    against them (the full in-framework replacement for the reference's
+    external ViT-L-14_features_GIT_train.pt)."""
+    import glob
+    import json as _json
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from eeg_image_decode_tpu.models.clip_vit import (
+        CLIPVisionConfig,
+        CLIPVisionTower,
+    )
+
+    rng = np.random.default_rng(1)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(5):
+        arr = (rng.uniform(size=(32, 32, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"img_{i}.png")
+
+    tower = CLIPVisionTower(CLIPVisionConfig.tiny())
+    vparams = tower.init(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3))
+    )["params"]
+    vp_file = tmp_path / "vision.pkl"
+    with open(vp_file, "wb") as f:
+        pickle.dump(jax.tree.map(np.asarray, vparams), f)
+
+    emb = tmp_path / "emb.npy"
+    np.save(emb, rng.normal(size=(5, 8)).astype(np.float32))
+    out = tmp_path / "proj.pkl"
+    cache_dir = tmp_path / "cache"
+    cli.main([
+        "train-adapter", "--embeddings", str(emb),
+        "--images-dir", str(img_dir), "--git-vision-params", str(vp_file),
+        "--cache-dir", str(cache_dir), "--grid-batch", "2", "--tiny",
+        "--epochs", "2", "--batch-size", "5", "--out", str(out),
+    ])
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(res["final_train_loss"])
+    caches = glob.glob(str(cache_dir / "ViT-L-14-GIT-grid*.npz"))
+    assert len(caches) == 1  # content-keyed grid cache written
+    grids = np.load(caches[0])["grids"]
+    assert grids.shape == (5, 17, 64)  # (N, 1+ (32/8)², width)
+    with open(out, "rb") as f:
+        params = pickle.load(f)
+    assert params  # trained adapter params saved
