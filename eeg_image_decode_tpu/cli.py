@@ -191,6 +191,10 @@ def cmd_train_retrieval(args):
         start = trainer.resume()
         print(f"resumed {out} at epoch {start}")
     trainer.fit()
+    if getattr(args, "export_features", None):
+        # the reconstruction pipeline's hand-off artifact (ref
+        # ATMS_reconstruction.py saves emb_eeg/emb_eeg_test .pt pairs)
+        print(f"exported {trainer.export_features(args.export_features)}")
     print(json.dumps(trainer.history[-1]))
 
 
@@ -1051,6 +1055,10 @@ def main(argv=None):
     p.add_argument("--resume-dir", default=None,
                    help="existing run directory: restore the latest orbax "
                         "checkpoint (full TrainState) and continue")
+    p.add_argument("--export-features", default=None, dest="export_features",
+                   help="after training, save train+test EEG features + "
+                        "aligned CLIP targets to this .npz (the artifact "
+                        "train-prior consumes; ref ATM_S_eeg_features_*.pt)")
     p.set_defaults(recon=False, fn=cmd_train_retrieval)
 
     p = sub.add_parser("train-recon", help="reconstruction-objective training")
@@ -1059,6 +1067,10 @@ def main(argv=None):
     p.add_argument("--subjects", default="sub-08")
     p.add_argument("--mesh", action="store_true")
     p.add_argument("--resume-dir", default=None)
+    p.add_argument("--export-features", default=None, dest="export_features",
+                   help="after training, save train+test EEG features + "
+                        "aligned CLIP targets to this .npz (the artifact "
+                        "train-prior consumes; ref ATM_S_eeg_features_*.pt)")
     p.set_defaults(recon=True, joint=False, cross_subject=False,
                    test_subject=None, fn=cmd_train_retrieval)
 

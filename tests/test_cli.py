@@ -449,3 +449,43 @@ def test_cli_train_adapter_from_images(tmp_path, capsys):
     with open(out, "rb") as f:
         params = pickle.load(f)
     assert params  # trained adapter params saved
+
+
+def test_cli_export_features_flag(tmp_path):
+    """`train-retrieval --export-features`: after training, the CLI writes
+    the EEG-feature npz the prior trainer consumes (the reference's
+    ATM_S_eeg_features_sub-08{,_test}.pt hand-off, ATMS_reconstruction.py)."""
+    from test_data import _write_subject
+    from eeg_image_decode_tpu.data.features import save_features
+
+    n_cls = 6
+    _write_subject(tmp_path, "sub-01", n_cls=n_cls, train=True, reps=4)
+    _write_subject(tmp_path, "sub-01", n_cls=n_cls, train=False, reps=8)
+    rng = np.random.default_rng(0)
+    D = 1024
+    save_features(
+        str(tmp_path / "f.npz"),
+        img_features=rng.normal(size=(n_cls * 10, D)).astype(np.float32),
+        text_features=rng.normal(size=(n_cls, D)).astype(np.float32),
+        img_features_test=rng.normal(size=(n_cls, D)).astype(np.float32),
+        text_features_test=rng.normal(size=(n_cls, D)).astype(np.float32),
+    )
+    exported = tmp_path / "eeg_feats.npz"
+    cli.main([
+        "train-retrieval", "--data-path", str(tmp_path),
+        "--features", str(tmp_path / "f.npz"),
+        "--encoder", "nice", "--subjects", "sub-01",
+        "--batch-size", "16", "--dtype", "float32", "--eval-ks", "2,6",
+        "--epochs", "1", "--output-dir", str(tmp_path / "runs"),
+        "--export-features", str(exported),
+    ])
+    d = np.load(exported)
+    n_train = n_cls * 10 * 4  # images/class × reps
+    assert d["eeg_features"].shape == (n_train, D)
+    assert d["eeg_features_test"].shape == (n_cls, D)  # test reps averaged
+    assert d["img_features"].shape == (n_train, D)
+    assert d["labels_test"].shape == (n_cls,)
+    assert np.isfinite(d["eeg_features"]).all()
+    # img_features is already rep-aligned with eeg_features (the prior
+    # trainer's (c, h) pair needs no further expansion)
+    assert d["img_features"].shape == d["eeg_features"].shape
