@@ -24,6 +24,26 @@ import jax
 import jax.numpy as jnp
 
 
+def _check_request(eeg: np.ndarray, subject_ids) -> tuple[np.ndarray, np.ndarray]:
+    """Shared request validation: a zero-row request would otherwise crash in
+    ``np.concatenate`` after the (empty) chunk loop — fail fast with a clear
+    message instead (the HTTP daemon maps ValueError → 400)."""
+    eeg = np.asarray(eeg, np.float32)
+    if eeg.ndim != 3:
+        raise ValueError(f"eeg must be (B, C, T); got shape {eeg.shape}")
+    if eeg.shape[0] == 0:
+        raise ValueError("request contains zero EEG rows")
+    if np.isscalar(subject_ids):
+        subject_ids = np.full(eeg.shape[0], subject_ids)
+    subject_ids = np.asarray(subject_ids, np.int32)
+    if subject_ids.shape != (eeg.shape[0],):
+        raise ValueError(
+            f"subject_ids shape {subject_ids.shape} does not match "
+            f"batch size {eeg.shape[0]}"
+        )
+    return eeg, subject_ids
+
+
 class RetrievalService:
     def __init__(
         self,
@@ -67,10 +87,7 @@ class RetrievalService:
         Requests are chunked by ``max_batch`` (last chunk padded up), so
         every call hits the one compiled program regardless of request
         size — same contract as :class:`ReconstructionService`."""
-        eeg = np.asarray(eeg, np.float32)
-        if np.isscalar(subject_ids):
-            subject_ids = np.full(eeg.shape[0], subject_ids)
-        subject_ids = np.asarray(subject_ids, np.int32)
+        eeg, subject_ids = _check_request(eeg, subject_ids)
         n = eeg.shape[0]
         all_scores, all_idx = [], []
         for start in range(0, n, self.max_batch):
@@ -185,10 +202,7 @@ class ReconstructionService:
         padded up), so every encoder/prior/UNet call runs at exactly one
         compiled shape — an oversized request costs extra chunks, never a
         fresh jit trace of the SDXL graph."""
-        eeg = np.asarray(eeg, np.float32)
-        if np.isscalar(subject_ids):
-            subject_ids = np.full(eeg.shape[0], subject_ids)
-        subject_ids = np.asarray(subject_ids, np.int32)
+        eeg, subject_ids = _check_request(eeg, subject_ids)
         n = eeg.shape[0]
         out = []
         for start in range(0, n, self.max_batch):
@@ -262,10 +276,7 @@ class CaptionService:
     ) -> list[str]:
         """(B, C, T) EEG → B caption strings. Requests chunk by ``max_batch``
         (last chunk padded up) so every call hits one compiled program."""
-        eeg = np.asarray(eeg, np.float32)
-        if np.isscalar(subject_ids):
-            subject_ids = np.full(eeg.shape[0], subject_ids)
-        subject_ids = np.asarray(subject_ids, np.int32)
+        eeg, subject_ids = _check_request(eeg, subject_ids)
         n = eeg.shape[0]
         out: list[str] = []
         for start in range(0, n, self.max_batch):

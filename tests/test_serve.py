@@ -182,3 +182,24 @@ def test_caption_service_chain():
     assert all(isinstance(c, str) for c in caps)
     # deterministic given the same seed
     assert svc.caption(test.eeg[:3], test.subject_ids[:3]) == caps
+
+
+def test_request_validation_fails_fast():
+    """Zero-row / malformed requests raise a clear ValueError up front
+    instead of crashing in np.concatenate after the empty chunk loop."""
+    import pytest
+
+    model, trainer, train, test = _trained()
+    svc = RetrievalService(
+        model,
+        {"params": trainer.state.params,
+         "batch_stats": trainer.state.batch_stats},
+        test.class_img_features(),
+        max_batch=16,
+    )
+    with pytest.raises(ValueError, match="zero EEG rows"):
+        svc.top_k(test.eeg[:0], test.subject_ids[:0], k=3)
+    with pytest.raises(ValueError, match=r"must be \(B, C, T\)"):
+        svc.top_k(test.eeg[0], 1, k=3)  # missing batch dim
+    with pytest.raises(ValueError, match="does not match"):
+        svc.top_k(test.eeg[:4], test.subject_ids[:3], k=3)

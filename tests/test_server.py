@@ -114,6 +114,19 @@ def test_server_end_to_end():
         status = _err_status(f"{base}/v1/retrieve",
                              json.dumps({"eeg": [[[0.0]]]}).encode())
         assert status == 400
+        # zero-row request → clean 400, not a np.concatenate 500
+        status = _err_status(
+            f"{base}/v1/retrieve",
+            json.dumps({"eeg": [], "subject_ids": []}).encode(),
+        )
+        assert status == 400
+        # mismatched subject_ids length → 400
+        status = _err_status(
+            f"{base}/v1/retrieve",
+            json.dumps({"eeg": test.eeg[:2].tolist(),
+                        "subject_ids": [1]}).encode(),
+        )
+        assert status == 400
         status = _err_status(f"{base}/v1/nope", b"{}")
         assert status == 404
         server2 = EEGDecodeServer(retrieval=retrieval)  # no reconstruction
