@@ -215,6 +215,10 @@ class LowLevelTrainer:
             t0 = time.perf_counter()
             self.state, metrics = self._epoch_fn(self.state, eeg_all, lat_all, perm)
             loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"non-finite low-level loss {loss} at epoch {epoch}"
+                )
             history.append(
                 {"epoch": epoch, "loss": loss,
                  "epoch_time_s": time.perf_counter() - t0}

@@ -94,8 +94,36 @@ class PriorPipe:
             params=variables["params"],
             opt_state=self.tx.init(variables["params"]),
         )
+        self._schedule_total_steps = total_steps
+        self._loaded_params = False  # explicit init: caller owns the schedule
         self._epoch_fn = self._make_epoch_fn()
         return self.state
+
+    def _rebuild_optimizer(self, total_steps: int) -> None:
+        """Rebuild the warmup-cosine schedule for a NEW run length, keeping
+        the current params. Used when training starts from params that were
+        ``load``ed (init'd with total_steps=1): without this, fine-tuning a
+        loaded prior would run the LR schedule of a 1-step job — warm up,
+        then decay to zero almost immediately."""
+        cfg = self.cfg
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.lr,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=max(total_steps, cfg.warmup_steps + 1),
+            end_value=0.0,
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip_norm),
+            optax.adam(schedule),
+        )
+        self.state = self.state.replace(
+            step=jnp.zeros((), jnp.int32),
+            opt_state=self.tx.init(self.state.params),
+        )
+        self._schedule_total_steps = total_steps
+        self._loaded_params = False
+        self._epoch_fn = self._make_epoch_fn()
 
     def _make_epoch_fn(self):
         cfg, model, schedule, tx = self.cfg, self.model, self.schedule, self.tx
@@ -183,6 +211,19 @@ class PriorPipe:
         n_steps = max(n // batch_size, 1)
         if self.state is None:
             self.init(total_steps=n_steps * epochs)
+        elif (
+            getattr(self, "_loaded_params", False)
+            and int(self.state.step) == 0
+            and self._schedule_total_steps != n_steps * epochs
+        ):
+            # params came from load()/from_checkpoint() (schedule built with
+            # total_steps=1, no steps taken yet): rebuild the optimizer for
+            # THIS run so fine-tuning gets the real warmup-cosine instead of
+            # one that decays to ~zero LR after warmup_steps+1 steps. An
+            # explicitly init()'d pipe is untouched — the kill-and-resume
+            # pattern launches with the FULL job's total_steps then trains
+            # fewer epochs, and must keep that schedule.
+            self._rebuild_optimizer(n_steps * epochs)
 
         start_epoch = 0
         history: list[dict] = []
@@ -288,6 +329,7 @@ class PriorPipe:
         if self.state is None:
             self.init(total_steps=1)
         self.state = self.state.replace(params=params)
+        self._loaded_params = True  # train() rebuilds the LR schedule
 
     def _validate_payload(self, obj):
         import dataclasses
@@ -336,6 +378,7 @@ class PriorPipe:
         pipe = cls(cfg, mesh=mesh)
         pipe.init(total_steps=1)
         pipe.state = pipe.state.replace(params=params)
+        pipe._loaded_params = True  # train() rebuilds the LR schedule
         return pipe
 
     # — sampling —

@@ -225,3 +225,36 @@ def test_cli_resume_flag(tmp_path):
     with open(f"{run_dir}/results.csv", newline="") as f:
         rows = list(csv.DictReader(f))
     assert [int(r["epoch"]) for r in rows] == [0, 1, 2, 3]
+
+
+def test_finetune_after_load_rebuilds_lr_schedule(tmp_path, rng):
+    """Training from load()ed params must not inherit the total_steps=1
+    schedule that load()/from_checkpoint() init with — fine-tuning would
+    silently run at ~zero LR after warmup_steps+1 steps."""
+    from eeg_image_decode_tpu.train.prior import PriorPipe
+
+    pipe = _prior_pipe()
+    pipe.init(total_steps=1)
+    path = str(tmp_path / "prior.pkl")
+    pipe.save_with_config(path)
+
+    import jax
+
+    ft = PriorPipe.from_checkpoint(path)
+    assert ft._schedule_total_steps == 1
+    c = rng.normal(size=(64, 24)).astype(np.float32)
+    h = rng.normal(size=(64, 16)).astype(np.float32)
+    before = jax.tree_util.tree_leaves(ft.state.params)[0].copy()
+    hist = ft.train(c, h, epochs=3, batch_size=16, log_fn=None)
+    # schedule rebuilt for the real run length (4 steps/epoch × 3)
+    assert ft._schedule_total_steps == 12
+    assert len(hist) == 3
+    # params actually moved well past warmup (nonzero LR throughout)
+    after = jax.tree_util.tree_leaves(ft.state.params)[0]
+    assert float(np.abs(np.asarray(after - before)).max()) > 1e-4
+
+    # a mid-run state (resume path: step > 0) must NOT be rebuilt
+    step_before = int(ft.state.step)
+    assert step_before == 12
+    ft.train(c, h, epochs=3, batch_size=16, log_fn=None)
+    assert int(ft.state.step) == 24  # continued, not reset
