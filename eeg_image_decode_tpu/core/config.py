@@ -101,6 +101,9 @@ class ATMSConfig:
     #: checkpoint-compatible tree, measured +3% flagship throughput on v5e);
     #: only active on the fused TPU path, 'flax' elsewhere and on demand
     tsconv_bn1: str = "gram"
+    #: fused Pallas projection head (ops/projection.py); 'auto' currently
+    #: resolves to OFF pending the on-chip A/B (scripts/bench_projection.py)
+    fused_projection: bool | str = "auto"
 
 
 @dataclass(frozen=True)

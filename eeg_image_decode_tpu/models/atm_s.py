@@ -233,6 +233,7 @@ class ATMS(nn.Module):
             proj_dim=cfg.proj_dim,
             dropout=cfg.proj_dropout,
             dtype=self.dtype,
+            fused=getattr(cfg, "fused_projection", "auto"),
             name="proj_eeg",
         )(tokens, deterministic=deterministic)
 

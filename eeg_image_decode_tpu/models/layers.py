@@ -287,23 +287,100 @@ class TSConv(nn.Module):
         return x.reshape(x.shape[0], -1, self.emb_size)
 
 
+class _DenseParams(nn.Module):
+    """Raw kernel/bias at the same tree path ``nn.Dense`` would use, so the
+    fused-kernel and XLA paths share one checkpoint layout (same pattern as
+    ``models/atm_s.py``)."""
+
+    d_in: int
+    d_out: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.d_in, self.d_out))
+        b = self.param("bias", nn.initializers.zeros, (self.d_out,))
+        return k, b
+
+
+class _LNParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
 class ProjectionHead(nn.Module):
     """Flatten → Dense → residual(GELU→Dense→Dropout) → LayerNorm
-    (ref ``Proj_eeg``, ``Retrieval/ATMS_retrieval.py:157-167``)."""
+    (ref ``Proj_eeg``, ``Retrieval/ATMS_retrieval.py:157-167``).
+
+    ``fused=True`` runs the whole head as one VMEM-resident Pallas kernel
+    (``ops/projection.py``: both directions native, in-kernel PRNG dropout,
+    tanh GELU — |Δ| ≲ 1e-3 vs the XLA path's exact erf). Default off pending
+    an on-chip measurement ('auto' resolves via that measured verdict)."""
 
     proj_dim: int = 1024
     dropout: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    #: False | True | 'auto' — 'auto' currently resolves to False pending the
+    #: on-chip A/B (scripts/bench_projection.py); flip after a measured win
+    fused: bool | str = "auto"
+
+    def _use_fused(self) -> bool:
+        if self.fused == "auto":
+            return False  # pending on-chip measurement
+        return bool(self.fused)
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool) -> jax.Array:
-        x = x.reshape(x.shape[0], -1).astype(self.dtype)
-        x = nn.Dense(self.proj_dim, dtype=self.dtype, name="in_proj")(x)
+        import jax as _jax
+
+        dt = self.dtype
+        x = x.reshape(x.shape[0], -1).astype(dt)
+        wi, bi = _DenseParams(x.shape[-1], self.proj_dim, name="in_proj")()
+        wr, br = _DenseParams(self.proj_dim, self.proj_dim, name="res_proj")()
+        ln_s, ln_b = _LNParams(self.proj_dim, name="ln")()
+
+        no_dropout = deterministic or self.dropout == 0.0
+        on_tpu = _jax.default_backend() == "tpu"
+        if self._use_fused() and (no_dropout or on_tpu):
+            from eeg_image_decode_tpu.ops.projection import (
+                fused_projection_head,
+            )
+
+            params = {"wi": wi, "bi": bi, "wr": wr, "br": br,
+                      "ln_s": ln_s, "ln_b": ln_b}
+            params = jax.tree_util.tree_map(lambda p: p.astype(dt), params)
+            seed = None
+            p_drop = 0.0
+            if not no_dropout:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1, jnp.int32
+                )
+                p_drop = self.dropout
+            return fused_projection_head(
+                x, params, None, p_drop, not on_tpu, seed
+            )
+
+        def dense(h, w, b):
+            return jnp.dot(h, w.astype(dt)) + b.astype(dt)
+
+        x = dense(x, wi, bi)
         h = nn.gelu(x, approximate=False)
-        h = nn.Dense(self.proj_dim, dtype=self.dtype, name="res_proj")(h)
+        h = dense(h, wr, br)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        x = x + h
-        return nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        # LayerNorm in fp32, fast-variance — identical math to
+        # nn.LayerNorm(dtype=jnp.float32) over the params above
+        r = (x + h).astype(jnp.float32)
+        mu = jnp.mean(r, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(jnp.square(r), axis=-1, keepdims=True) - mu * mu, 0.0
+        )
+        xhat = (r - mu) * jax.lax.rsqrt(var + 1e-6)
+        return xhat * ln_s.astype(jnp.float32) + ln_b.astype(jnp.float32)
 
 
 class LogitScale(nn.Module):
