@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from eeg_image_decode_tpu.ops import attention as A
+from eeg_image_decode_tpu.ops import projection as P
 
 B, L, D, INNER, FF, H = 16, 64, 250, 248, 256, 4
 P_DROP = 0.25
@@ -110,6 +111,66 @@ def main():
         A.fused_attention_layer(x, params, masks, H) * w)))(x)
     np.testing.assert_array_equal(np.asarray(g_seed), np.asarray(g_mask))
     print("seed-mode gradients == explicit-mask gradients (bit-exact)")
+
+    validate_projection(rng)
+
+
+def extract_projection_mask(seed, n_rows, bt, d_out, p_drop):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def mask_kernel(seed_ref, m_ref):
+        m_ref[:] = P._draw_keep_mask(seed_ref, p_drop, (bt, d_out))
+
+    n_blocks = n_rows // bt
+    return pl.pallas_call(
+        mask_kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((bt, d_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rows, d_out), jnp.float32),
+    )(jnp.asarray(seed, jnp.int32).reshape(1, 1))
+
+
+def validate_projection(rng):
+    """Same strong check for the fused projection head (ops/projection.py):
+    seed-mode fwd and grads must equal the explicit-mask mode bit-for-bit
+    on the masks the kernel actually draws."""
+    d_in, d_out, n = 1440, 1024, 512
+    p_drop = 0.5
+    r = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.05)
+    params = {
+        "wi": r(d_in, d_out), "bi": r(d_out),
+        "wr": r(d_out, d_out), "br": r(d_out),
+        "ln_s": jnp.ones(d_out), "ln_b": jnp.zeros(d_out),
+    }
+    x = jnp.asarray(rng.normal(size=(n, d_in)).astype(np.float32))
+    seed = jnp.asarray(4321, jnp.int32)
+    bt = min(P.BLOCK_BT, n)
+
+    f = jax.jit(lambda x, s: P.fused_projection_head(
+        x, params, None, p_drop, False, s))
+    a, b = f(x, seed), f(x, seed)
+    c = f(x, jnp.asarray(77, jnp.int32))
+    assert np.array_equal(np.asarray(a), np.asarray(b)), "same seed differs!"
+    assert not np.allclose(np.asarray(a), np.asarray(c)), "seed inert!"
+
+    mask = extract_projection_mask(seed, n, bt, d_out, p_drop)
+    kf = float((np.asarray(mask) > 0).mean())
+    assert abs(kf - (1 - p_drop)) < 0.01, kf
+    f_mask = jax.jit(lambda x: P.fused_projection_head(x, params, mask))
+    np.testing.assert_array_equal(np.asarray(f(x, seed)),
+                                  np.asarray(f_mask(x)))
+    w = jnp.asarray(rng.normal(size=(n, d_out)).astype(np.float32))
+    g_seed = jax.jit(jax.grad(lambda x: jnp.sum(
+        P.fused_projection_head(x, params, None, p_drop, False, seed) * w
+    )))(x)
+    g_mask = jax.jit(jax.grad(lambda x: jnp.sum(
+        P.fused_projection_head(x, params, mask) * w)))(x)
+    np.testing.assert_array_equal(np.asarray(g_seed), np.asarray(g_mask))
+    print("projection head: seed-mode fwd+grads == explicit-mask (bit-exact)")
 
 
 if __name__ == "__main__":
