@@ -34,7 +34,6 @@ kernels and HBM, not the MXU; the value is reported for honesty, not bragging.
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -78,31 +77,15 @@ def _device_synthetic_data():
     )
 
 
-def _wait_for_backend(attempts: int = 3, delay_s: float = 60.0):
-    """Retry backend init: the TPU tunnel on this harness flaps occasionally,
-    and a transient UNAVAILABLE at the moment the driver runs the bench should
-    not zero out the round's measurement. A failed init can itself block for
-    minutes before raising, so the attempt count stays small."""
-    import jax
-
-    for i in range(attempts):
-        try:
-            return jax.devices()
-        except RuntimeError as e:
-            if i == attempts - 1:
-                raise
-            print(f"backend unavailable (attempt {i + 1}/{attempts}): {e}",
-                  file=sys.stderr)
-            time.sleep(delay_s)
-
-
 def main():
     import jax
 
     # threefry dropout-mask generation costs ~25% of the step (measured,
     # scripts/ablate_perf.py); the TPU-native RBG generator removes most of it
     jax.config.update("jax_default_prng_impl", "rbg")
-    _wait_for_backend()
+    from eeg_image_decode_tpu.utils.backend import wait_for_backend
+
+    wait_for_backend()
     import jax.numpy as jnp
 
     from eeg_image_decode_tpu.core.config import ATMSConfig, ContrastiveTrainConfig

@@ -251,6 +251,9 @@ def main():
         import jax
 
         jax.config.update("jax_default_prng_impl", "rbg")
+        from eeg_image_decode_tpu.utils.backend import wait_for_backend
+
+        wait_for_backend()
         BENCHES[sys.argv[1]]()
         return
     import subprocess

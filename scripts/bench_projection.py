@@ -27,6 +27,10 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 jax.config.update("jax_default_prng_impl", "rbg")
 
+from eeg_image_decode_tpu.utils.backend import wait_for_backend  # noqa: E402
+
+wait_for_backend()
+
 import jax.numpy as jnp  # noqa: E402
 
 import bench as B  # noqa: E402

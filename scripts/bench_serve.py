@@ -36,6 +36,10 @@ def main(mode: str) -> None:
     jax.config.update("jax_default_prng_impl", "rbg")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 
+    from eeg_image_decode_tpu.utils.backend import wait_for_backend
+
+    wait_for_backend()
+
     from eeg_image_decode_tpu.core.config import (
         ATMSConfig,
         ContrastiveTrainConfig,

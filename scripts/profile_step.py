@@ -32,6 +32,10 @@ def capture(trace_dir: str) -> float:
 
     jax.config.update("jax_default_prng_impl", "rbg")
 
+    from eeg_image_decode_tpu.utils.backend import wait_for_backend
+
+    wait_for_backend()
+
     import bench as B
     from eeg_image_decode_tpu.core.config import (
         ATMSConfig,

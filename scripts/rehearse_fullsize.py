@@ -275,7 +275,9 @@ def leg_git():
 
 
 def main():
-    print("devices:", jax.devices(), flush=True)
+    from eeg_image_decode_tpu.utils.backend import wait_for_backend
+
+    print("devices:", wait_for_backend(), flush=True)
     leg_unet()
     leg_vae()
     leg_text()

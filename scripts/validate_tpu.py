@@ -70,6 +70,9 @@ def extract_masks(seed, bt):
 
 
 def main():
+    from eeg_image_decode_tpu.utils.backend import wait_for_backend
+
+    wait_for_backend()
     assert jax.default_backend() == "tpu", "needs a TPU"
     rng = np.random.default_rng(0)
     r = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.1)
