@@ -23,6 +23,7 @@ Dataset paths come from ``--data-config`` (the reference's
 from __future__ import annotations
 
 import argparse
+import csv
 import json
 import os
 import sys
@@ -132,6 +133,48 @@ def _build_retrieval_splits(
 
 
 def cmd_train_retrieval(args):
+    subjects = args.subjects.split(",")
+    if getattr(args, "sweep", False):
+        return _train_retrieval_sweep(args, subjects)
+    _train_retrieval_one(args, subjects)
+
+
+def _train_retrieval_sweep(args, subjects):
+    """Per-subject sweep: a FRESH model per subject, like the reference's
+    main loop (ATMS_retrieval.py:544-583 — in-subject trains/tests on each
+    subject in turn; cross-subject leaves each one out of training and
+    tests on it). Writes ``<output-dir>/sweep_summary.csv`` with one row
+    per subject plus the per-run CSVs each trainer already produces."""
+    if args.resume_dir:
+        raise SystemExit(
+            "--sweep does not compose with --resume-dir "
+            "(resume the individual run instead)"
+        )
+    if args.joint:
+        raise SystemExit(
+            "--sweep is for the in-subject/cross-subject protocols; "
+            "joint training is one model over all subjects already"
+        )
+    rows = []
+    for sub in subjects:
+        if getattr(args, "cross_subject", False):
+            row = _train_retrieval_one(
+                args, subjects, sweep_subject=sub, protocol="cross"
+            )
+        else:
+            row = _train_retrieval_one(args, [sub], sweep_subject=sub)
+        rows.append({"subject": sub, **row})
+    os.makedirs(args.output_dir, exist_ok=True)
+    summary = os.path.join(args.output_dir, "sweep_summary.csv")
+    with open(summary, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"sweep summary: {summary}")
+    print(json.dumps(rows))
+
+
+def _train_retrieval_one(args, subjects, *, sweep_subject=None, protocol=None):
     import jax.numpy as jnp
 
     from eeg_image_decode_tpu.core.checkpoint import Checkpointer, run_directory
@@ -140,7 +183,6 @@ def cmd_train_retrieval(args):
     from eeg_image_decode_tpu.models import build_encoder
     from eeg_image_decode_tpu.train import ContrastiveTrainer
 
-    subjects = args.subjects.split(",")
     kw = {}
     if getattr(args, "eval_ks", None):
         kw["eval_ks"] = tuple(int(k) for k in args.eval_ks.split(","))
@@ -162,11 +204,12 @@ def cmd_train_retrieval(args):
     else:
         model = build_encoder(args.encoder, dtype=dtype)
 
-    if getattr(args, "cross_subject", False):
+    test_subject = sweep_subject if protocol == "cross" else args.test_subject
+    if protocol == "cross" or getattr(args, "cross_subject", False):
         # leave-one-out: drop the test subject from training
         train, test = _build_retrieval_splits(
             args, subjects,
-            train_exclude=args.test_subject, test_subject=args.test_subject,
+            train_exclude=test_subject, test_subject=test_subject,
         )
     elif args.joint:
         # joint: all subjects train (incl. the test subject), eval on one
@@ -180,7 +223,9 @@ def cmd_train_retrieval(args):
         out = args.resume_dir
     else:
         run_id = time.strftime("%Y-%m-%d_%H-%M-%S")
-        sub_tag = args.test_subject or subjects[0]
+        sub_tag = test_subject or subjects[0]
+        if protocol == "cross":
+            sub_tag = f"cross_exclude_{sub_tag}"
         out = run_directory(args.output_dir, args.encoder, sub_tag, run_id)
     ckpt = Checkpointer(os.path.join(out, "ckpt"))
     trainer = ContrastiveTrainer(
@@ -193,9 +238,15 @@ def cmd_train_retrieval(args):
     trainer.fit()
     if getattr(args, "export_features", None):
         # the reconstruction pipeline's hand-off artifact (ref
-        # ATMS_reconstruction.py saves emb_eeg/emb_eeg_test .pt pairs)
-        print(f"exported {trainer.export_features(args.export_features)}")
+        # ATMS_reconstruction.py saves emb_eeg/emb_eeg_test .pt pairs);
+        # in a sweep each subject gets its own file under the given dir
+        dest = args.export_features
+        if sweep_subject is not None:
+            os.makedirs(dest, exist_ok=True)
+            dest = os.path.join(dest, f"{sweep_subject}.npz")
+        print(f"exported {trainer.export_features(dest)}")
     print(json.dumps(trainer.history[-1]))
+    return trainer.history[-1]
 
 
 def cmd_train_prior(args):
@@ -1048,6 +1099,11 @@ def main(argv=None):
     p.add_argument("--subjects", default="sub-01")
     p.add_argument("--joint", action="store_true",
                    help="joint training over all subjects (C18)")
+    p.add_argument("--sweep", action="store_true",
+                   help="train a FRESH model per subject (the reference "
+                        "main loop): in-subject per listed subject, or with "
+                        "--cross-subject a leave-one-out round per subject; "
+                        "writes <output-dir>/sweep_summary.csv")
     p.add_argument("--cross-subject", action="store_true",
                    help="leave-one-out: exclude --test-subject from training")
     p.add_argument("--test-subject", default=None)

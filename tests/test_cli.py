@@ -489,3 +489,84 @@ def test_cli_export_features_flag(tmp_path):
     # img_features is already rep-aligned with eeg_features (the prior
     # trainer's (c, h) pair needs no further expansion)
     assert d["img_features"].shape == d["eeg_features"].shape
+
+
+def _write_two_subject_tree(tmp_path, n_cls=6):
+    from test_data import _write_subject
+    from eeg_image_decode_tpu.data.features import save_features
+
+    for sub in ("sub-01", "sub-02"):
+        _write_subject(tmp_path, sub, n_cls=n_cls, train=True, reps=4)
+        _write_subject(tmp_path, sub, n_cls=n_cls, train=False, reps=8)
+    rng = np.random.default_rng(0)
+    D = 1024  # NICE projects to the CLIP width
+    save_features(
+        str(tmp_path / "f.npz"),
+        img_features=rng.normal(size=(n_cls * 10, D)).astype(np.float32),
+        text_features=rng.normal(size=(n_cls, D)).astype(np.float32),
+        img_features_test=rng.normal(size=(n_cls, D)).astype(np.float32),
+        text_features_test=rng.normal(size=(n_cls, D)).astype(np.float32),
+    )
+    return n_cls
+
+
+def test_cli_sweep_per_subject(tmp_path, capsys):
+    """`--sweep` = the reference's main loop (ATMS_retrieval.py:544-583):
+    one FRESH model per listed subject, plus an aggregate summary CSV."""
+    import csv as _csv
+
+    n_cls = _write_two_subject_tree(tmp_path)
+    cli.main([
+        "train-retrieval", "--data-path", str(tmp_path),
+        "--features", str(tmp_path / "f.npz"),
+        "--encoder", "nice", "--subjects", "sub-01,sub-02", "--sweep",
+        "--batch-size", "16", "--dtype", "float32", "--eval-ks", "2,6",
+        "--epochs", "1", "--output-dir", str(tmp_path / "runs"),
+        "--export-features", str(tmp_path / "feats"),
+    ])
+    with open(tmp_path / "runs" / "sweep_summary.csv") as f:
+        rows = list(_csv.DictReader(f))
+    assert [r["subject"] for r in rows] == ["sub-01", "sub-02"]
+    assert all(float(r["loss"]) > 0 for r in rows)
+    # per-subject exports land as <dir>/<subject>.npz
+    for sub in ("sub-01", "sub-02"):
+        d = np.load(tmp_path / "feats" / f"{sub}.npz")
+        assert d["eeg_features_test"].shape[0] == n_cls
+
+
+def test_cli_sweep_cross_subject(tmp_path):
+    """`--sweep --cross-subject` = leave-one-out per subject: each round
+    trains on the OTHER subjects and tests on the held-out one (reference
+    else-branch, ATMS_retrieval.py:553-555)."""
+    import csv as _csv
+
+    _write_two_subject_tree(tmp_path)
+    cli.main([
+        "train-retrieval", "--data-path", str(tmp_path),
+        "--features", str(tmp_path / "f.npz"),
+        "--encoder", "nice", "--subjects", "sub-01,sub-02",
+        "--sweep", "--cross-subject",
+        "--batch-size", "16", "--dtype", "float32", "--eval-ks", "2,6",
+        "--epochs", "1", "--output-dir", str(tmp_path / "runs"),
+    ])
+    with open(tmp_path / "runs" / "sweep_summary.csv") as f:
+        rows = list(_csv.DictReader(f))
+    assert [r["subject"] for r in rows] == ["sub-01", "sub-02"]
+    # each round leaves its subject out of training: run dirs are tagged
+    runs = os.listdir(tmp_path / "runs" / "contrast" / "nice")
+    assert sorted(runs) == ["cross_exclude_sub-01", "cross_exclude_sub-02"]
+
+
+def test_cli_sweep_rejects_bad_compositions(tmp_path):
+    _write_two_subject_tree(tmp_path)
+    base = [
+        "train-retrieval", "--data-path", str(tmp_path),
+        "--features", str(tmp_path / "f.npz"),
+        "--encoder", "nice", "--subjects", "sub-01,sub-02", "--sweep",
+        "--batch-size", "16", "--dtype", "float32", "--epochs", "1",
+        "--output-dir", str(tmp_path / "runs"),
+    ]
+    with pytest.raises(SystemExit, match="resume"):
+        cli.main(base + ["--resume-dir", str(tmp_path / "runs")])
+    with pytest.raises(SystemExit, match="joint"):
+        cli.main(base + ["--joint", "--test-subject", "sub-01"])
