@@ -249,6 +249,87 @@ def _train_retrieval_one(args, subjects, *, sweep_subject=None, protocol=None):
     return trainer.history[-1]
 
 
+def cmd_evaluate(args):
+    """Score a TRAINED retrieval checkpoint on the k-way table without
+    retraining: restore the orbax TrainState from a run directory, extract
+    test-set features, run the seeded evaluator. The reference can only
+    produce these numbers inside its training loop
+    (``ATMS_retrieval.py:262-362``); here any saved run re-scores in
+    seconds (e.g. with new ``--eval-ks`` or another subject's test split)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.core.checkpoint import Checkpointer
+    from eeg_image_decode_tpu.core.config import ATMSConfig, ContrastiveTrainConfig
+    from eeg_image_decode_tpu.data.features import load_features
+    from eeg_image_decode_tpu.data.things_eeg import build_retrieval_data
+    from eeg_image_decode_tpu.models import build_encoder
+    from eeg_image_decode_tpu.train.contrastive import (
+        create_train_state,
+        make_eval_features_fn,
+    )
+    from eeg_image_decode_tpu.train.evaluator import retrieval_eval
+
+    subjects = args.subjects.split(",")
+    data_path = _resolve_data_path(args)
+    if not args.features:
+        raise SystemExit("need --features (CLIP cache with a test split)")
+    feats = load_features(args.features)
+    test_img, test_txt = _resolve_test_features(args, feats)
+    test = build_retrieval_data(
+        data_path, subjects, train=False,
+        img_features=test_img, text_features=test_txt,
+        exclude_subject=args.test_subject,
+        average_test_reps=not args.no_average,
+    )
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.encoder == "atms":
+        model = build_encoder(
+            "atms", config=ATMSConfig(joint_train=args.joint), dtype=dtype
+        )
+    else:
+        model = build_encoder(args.encoder, dtype=dtype)
+    ks = (
+        tuple(int(k) for k in args.eval_ks.split(","))
+        if args.eval_ks else (2, 4, 10, 50, 100, 200)
+    )
+    cfg = ContrastiveTrainConfig(encoder=args.encoder, seed=args.seed,
+                                 eval_ks=ks)
+    state, _ = create_train_state(
+        model, cfg, jnp.asarray(test.eeg[:2]),
+        jnp.asarray(test.subject_ids[:2]),
+    )
+    ckpt = Checkpointer(os.path.join(args.run_dir, "ckpt"))
+    step = ckpt.latest_step() if args.step is None else args.step
+    try:
+        state = ckpt.restore(step, state)
+    except Exception as e:  # orbax raises structure mismatches deep inside
+        raise SystemExit(
+            f"checkpoint under {args.run_dir} does not match encoder "
+            f"'{args.encoder}' (joint={args.joint}): {e}"
+        ) from None
+    eval_fn = make_eval_features_fn(model)
+    feats_arr, scale = eval_fn(
+        state.params, state.batch_stats,
+        jnp.asarray(test.eeg), jnp.asarray(test.subject_ids),
+    )
+    out = retrieval_eval(
+        feats_arr, jnp.asarray(test.class_img_features()),
+        jnp.asarray(test.labels), scale, ks=ks,
+        key=jax.random.key(args.seed),
+    )
+    row = {"step": int(step), "n_test": int(test.n),
+           **{k: float(v) for k, v in out.items()}}
+    if args.csv:
+        os.makedirs(os.path.dirname(args.csv) or ".", exist_ok=True)
+        with open(args.csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row.keys()))
+            w.writeheader()
+            w.writerow(row)
+    print(json.dumps(row))
+
+
 def cmd_train_prior(args):
     from eeg_image_decode_tpu.core.config import PriorConfig
     from eeg_image_decode_tpu.train.prior import PriorPipe
@@ -1116,6 +1197,29 @@ def main(argv=None):
                         "aligned CLIP targets to this .npz (the artifact "
                         "train-prior consumes; ref ATM_S_eeg_features_*.pt)")
     p.set_defaults(recon=False, fn=cmd_train_retrieval)
+
+    p = sub.add_parser(
+        "evaluate",
+        help="k-way retrieval table for a trained checkpoint (no retraining)",
+    )
+    _add_common(p)
+    p.add_argument("--run-dir", required=True,
+                   help="run directory written by train-retrieval (contains "
+                        "ckpt/)")
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step to score (default: latest)")
+    p.add_argument("--encoder", default="atms")
+    p.add_argument("--subjects", default="sub-01")
+    p.add_argument("--joint", action="store_true",
+                   help="checkpoint was trained with --joint "
+                        "(per-subject embedding tables)")
+    p.add_argument("--test-subject", default=None,
+                   help="restrict the test split to this subject")
+    p.add_argument("--no-average", action="store_true",
+                   help="score per-repetition instead of averaging the "
+                        "test repetitions")
+    p.add_argument("--csv", default=None, help="also write the row as CSV")
+    p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("train-recon", help="reconstruction-objective training")
     _add_common(p)

@@ -570,3 +570,49 @@ def test_cli_sweep_rejects_bad_compositions(tmp_path):
         cli.main(base + ["--resume-dir", str(tmp_path / "runs")])
     with pytest.raises(SystemExit, match="joint"):
         cli.main(base + ["--joint", "--test-subject", "sub-01"])
+
+
+def test_cli_evaluate_trained_checkpoint(tmp_path, capsys):
+    """`evaluate`: restore a train-retrieval checkpoint and score the k-way
+    table standalone — deterministic across invocations, and a clear error
+    when the encoder does not match the checkpoint."""
+    import json as _json
+
+    _write_two_subject_tree(tmp_path)
+    cli.main([
+        "train-retrieval", "--data-path", str(tmp_path),
+        "--features", str(tmp_path / "f.npz"),
+        "--encoder", "nice", "--subjects", "sub-01",
+        "--batch-size", "16", "--dtype", "float32", "--eval-ks", "2,6",
+        "--epochs", "1", "--output-dir", str(tmp_path / "runs"),
+    ])
+    run_dir = None
+    base = tmp_path / "runs" / "contrast" / "nice" / "sub-01"
+    run_dir = str(base / os.listdir(base)[0])
+
+    def score():
+        capsys.readouterr()
+        cli.main([
+            "evaluate", "--run-dir", run_dir,
+            "--data-path", str(tmp_path),
+            "--features", str(tmp_path / "f.npz"),
+            "--encoder", "nice", "--subjects", "sub-01",
+            "--dtype", "float32", "--eval-ks", "2,6",
+            "--csv", str(tmp_path / "eval.csv"),
+        ])
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    row1, row2 = score(), score()
+    assert row1 == row2  # seeded distractors → reproducible table
+    assert row1["step"] == 1 and row1["n_test"] == 6
+    assert 0.0 <= row1["top1_k2"] <= 1.0 and 0.0 <= row1["top1_k6"] <= 1.0
+    assert os.path.exists(tmp_path / "eval.csv")
+
+    with pytest.raises(SystemExit, match="does not match encoder"):
+        cli.main([
+            "evaluate", "--run-dir", run_dir,
+            "--data-path", str(tmp_path),
+            "--features", str(tmp_path / "f.npz"),
+            "--encoder", "eegnetv4", "--subjects", "sub-01",
+            "--dtype", "float32", "--eval-ks", "2,6",
+        ])
