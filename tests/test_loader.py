@@ -162,3 +162,49 @@ def test_npy_mmap_fortran_order_falls_back(rng, tmp_path):
     assert not m.is_native  # native reader only does C-contiguous
     np.testing.assert_array_equal(np.asarray(m.array), arr)
     m.close()
+
+
+def test_gather_pool_concurrent_submitters(rng):
+    """Race-hardening evidence for the native engine (SURVEY §5 row): many
+    Python threads hammer ONE shared pool with interleaved submit/wait on
+    overlapping source rows; every result must equal numpy's gather. Runs
+    against whichever backend is available (native C++ or numpy fallback)."""
+    import threading
+
+    from eeg_image_decode_tpu.data.native_loader import GatherPool
+
+    src = rng.normal(size=(512, 7, 11)).astype(np.float32)
+    pool = GatherPool()
+    errors = []
+
+    def worker(seed):
+        r = np.random.default_rng(seed)
+        try:
+            for _ in range(25):
+                # out-of-order waits: submit a burst, wait in reverse
+                batch = [
+                    r.integers(0, len(src), size=int(r.integers(1, 64)))
+                    for _ in range(4)
+                ]
+                dsts = [
+                    np.empty((len(ix),) + src.shape[1:], src.dtype)
+                    for ix in batch
+                ]
+                tickets = [
+                    pool.submit(src, ix, dst)
+                    for ix, dst in zip(batch, dsts)
+                ]
+                for t in reversed(tickets):
+                    pool.wait(t)
+                for ix, dst in zip(batch, dsts):
+                    np.testing.assert_array_equal(dst, src[ix])
+        except Exception as e:  # surface across the thread boundary
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    pool.close()
+    assert not errors, errors[0]
