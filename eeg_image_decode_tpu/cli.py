@@ -421,6 +421,103 @@ def cmd_latents(args):
     ))
 
 
+def _things_images_and_prompts(root: str) -> tuple[list[str], list[str]]:
+    """THINGS ``images_set`` layout (``<root>/<NNNNN_concept>/<img>.jpg``) →
+    (sorted image paths, one prompt per class dir). Prompts follow the
+    reference: ``"This picture is <concept>"`` with the concept taken after
+    the first underscore (``Retrieval/eegdatasets_leaveone.py:96-106``; a
+    dir without an underscore keeps its whole name instead of being
+    silently skipped like the reference does)."""
+    dirs = sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+    if not dirs:
+        raise SystemExit(f"no class directories under {root}")
+    exts = (".png", ".jpg", ".jpeg")
+    paths, prompts = [], []
+    for d in dirs:
+        desc = d.split("_", 1)[1] if "_" in d else d
+        prompts.append(f"This picture is {desc}")
+        sub = os.path.join(root, d)
+        paths.extend(
+            os.path.join(sub, f) for f in sorted(os.listdir(sub))
+            if f.lower().endswith(exts)
+        )
+    if not paths:
+        raise SystemExit(f"no images under the class dirs of {root}")
+    return paths, prompts
+
+
+def cmd_features(args):
+    """Build the CLIP feature cache — the ``--features``/``--test-features``
+    input of train-retrieval — from a THINGS-layout image dir, natively on
+    TPU through the flax ViT-H towers (converted OpenCLIP weights,
+    ``utils/convert_clip.py``). The reference computes this inside its
+    dataset class on first run via torch/open_clip
+    (``Retrieval/eegdatasets_leaveone.py:60-74``)."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.data.features import (
+        FlaxCLIPFeatureEncoder,
+        cache_path,
+        load_or_compute_clip_features,
+    )
+    from eeg_image_decode_tpu.data.tokenizers import CLIPBPETokenizer
+    from eeg_image_decode_tpu.models.clip_vit import (
+        CLIPTextConfig,
+        CLIPTextTower,
+        CLIPVisionConfig,
+        CLIPVisionTower,
+    )
+
+    tok = CLIPBPETokenizer.from_files(
+        args.vocab, args.merges,
+        context_length=16 if args.tiny else 77,
+    )
+    if args.tiny:
+        vcfg = CLIPVisionConfig.tiny()
+        tcfg = CLIPTextConfig(
+            vocab_size=len(tok.encoder), context_length=16, width=32,
+            layers=2, heads=2, embed_dim=vcfg.embed_dim,
+        )
+        dtype = jnp.float32
+    else:
+        vcfg = CLIPVisionConfig.vit_h_14()
+        tcfg = CLIPTextConfig.vit_h_14()
+        dtype = jnp.bfloat16
+    vt = CLIPVisionTower(vcfg, dtype=dtype)
+    tt = CLIPTextTower(tcfg, dtype=dtype)
+    with open(args.clip_params, "rb") as f:
+        params = pickle.load(f)
+    if not (isinstance(params, dict)
+            and {"vision", "text"} <= set(params.keys())):
+        raise SystemExit(
+            "--clip-params must be a pickle of {'vision': ..., 'text': ...} "
+            "flax param trees (see utils.convert_clip.convert_openclip_"
+            "vision/convert_openclip_text)"
+        )
+    enc = FlaxCLIPFeatureEncoder(vt, params["vision"], tt, params["text"],
+                                 tok)
+    paths, prompts = _things_images_and_prompts(args.images_dir)
+    normalize = not args.raw
+    out = load_or_compute_clip_features(
+        args.cache_dir, args.split, paths, prompts,
+        normalize_img=normalize, batch_size=args.batch_size or 20,
+        flax_encoder=enc,
+    )
+    model_tag = f"ViT-H-14-{'n' if normalize else 'r'}"
+    cache = cache_path(args.cache_dir, model_tag, args.split, paths)
+    print(json.dumps({
+        "n_images": len(paths), "n_classes": len(prompts),
+        "img_shape": list(out["img_features"].shape),
+        "text_shape": list(out["text_features"].shape),
+        "cache": cache,
+    }))
+
+
 def cmd_train_lowlevel(args):
     from eeg_image_decode_tpu.core.config import LowLevelConfig
     from eeg_image_decode_tpu.data.things_eeg import load_things_eeg_subject
@@ -1264,6 +1361,28 @@ def main(argv=None):
                    help="existing run directory: restore the latest orbax "
                         "checkpoint (full state) and continue")
     p.set_defaults(fn=cmd_train_lowlevel)
+
+    p = sub.add_parser(
+        "features",
+        help="build the CLIP feature cache (train-retrieval --features "
+             "input) from a THINGS-layout image dir",
+    )
+    p.add_argument("--images-dir", required=True,
+                   help="THINGS images root: <dir>/<NNNNN_concept>/<img>.jpg")
+    p.add_argument("--clip-params", required=True,
+                   help="pickle of {'vision':…,'text':…} converted OpenCLIP "
+                        "ViT-H flax trees (utils/convert_clip.py)")
+    p.add_argument("--vocab", required=True, help="CLIP BPE vocab.json")
+    p.add_argument("--merges", required=True, help="CLIP BPE merges.txt")
+    p.add_argument("--cache-dir", default="cache")
+    p.add_argument("--split", default="train", help="train or test")
+    p.add_argument("--raw", action="store_true",
+                   help="skip image-feature L2 normalization (the "
+                        "reconstruction pipeline's raw embeddings)")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random-config towers (tests/smoke)")
+    p.set_defaults(fn=cmd_features)
 
     p = sub.add_parser(
         "latents", help="build the SDXL-VAE latent cache from an image dir"

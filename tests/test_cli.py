@@ -616,3 +616,103 @@ def test_cli_evaluate_trained_checkpoint(tmp_path, capsys):
             "--encoder", "eegnetv4", "--subjects", "sub-01",
             "--dtype", "float32", "--eval-ks", "2,6",
         ])
+
+
+def test_cli_features_things_layout(tmp_path, capsys):
+    """`features`: THINGS class-dir tree → content-keyed CLIP cache with
+    one prompt per class ("This picture is <concept>") and one row per
+    image, loadable by the retrieval split machinery."""
+    import json as _json
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from eeg_image_decode_tpu.data.features import load_features
+    from eeg_image_decode_tpu.data.tokenizers import bytes_to_unicode
+    from eeg_image_decode_tpu.models.clip_vit import (
+        CLIPTextConfig, CLIPTextTower, CLIPVisionConfig, CLIPVisionTower,
+    )
+
+    rng = np.random.default_rng(0)
+    img_root = tmp_path / "training_images"
+    for c, name in enumerate(["00001_aardvark", "00002_abacus", "oddball"]):
+        d = img_root / name
+        d.mkdir(parents=True)
+        for j in range(2):
+            arr = rng.integers(0, 255, size=(24, 24, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"img_{j}.jpg")
+
+    # tiny tokenizer files (byte vocab + specials, no merges)
+    chars = list(bytes_to_unicode().values())
+    vocab = {c: i for i, c in enumerate(chars)}
+    for c in chars:
+        vocab[c + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    (tmp_path / "vocab.json").write_text(_json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version: 0.2\n")
+
+    vcfg = CLIPVisionConfig.tiny()
+    tcfg = CLIPTextConfig(vocab_size=len(vocab), context_length=16, width=32,
+                          layers=2, heads=2, embed_dim=vcfg.embed_dim)
+    vt, tt = CLIPVisionTower(vcfg), CLIPTextTower(tcfg)
+    vp = vt.init(jax.random.key(0),
+                 jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3)))["params"]
+    tp = tt.init(jax.random.key(1), jnp.zeros((1, 16), jnp.int32))["params"]
+    with open(tmp_path / "clip.pkl", "wb") as f:
+        pickle.dump({"vision": vp, "text": tp}, f)
+
+    capsys.readouterr()
+    cli.main([
+        "features", "--images-dir", str(img_root),
+        "--clip-params", str(tmp_path / "clip.pkl"),
+        "--vocab", str(tmp_path / "vocab.json"),
+        "--merges", str(tmp_path / "merges.txt"),
+        "--cache-dir", str(tmp_path / "cache"), "--split", "train",
+        "--tiny", "--batch-size", "4",
+    ])
+    info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["n_images"] == 6 and info["n_classes"] == 3
+    d = load_features(info["cache"])
+    assert d["img_features"].shape == (6, vcfg.embed_dim)
+    assert d["text_features"].shape == (3, vcfg.embed_dim)
+    np.testing.assert_allclose(
+        np.linalg.norm(d["img_features"], axis=-1), 1.0, atol=1e-5)
+
+    # --raw: generation-pipeline embeddings, not L2-normalized, separate key
+    capsys.readouterr()
+    cli.main([
+        "features", "--images-dir", str(img_root),
+        "--clip-params", str(tmp_path / "clip.pkl"),
+        "--vocab", str(tmp_path / "vocab.json"),
+        "--merges", str(tmp_path / "merges.txt"),
+        "--cache-dir", str(tmp_path / "cache"), "--split", "train",
+        "--tiny", "--raw",
+    ])
+    raw_info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert raw_info["cache"] != info["cache"]
+    raw = load_features(raw_info["cache"])
+    assert not np.allclose(np.linalg.norm(raw["img_features"], axis=-1), 1.0)
+
+
+def test_cli_features_rejects_bad_params_pickle(tmp_path):
+    import pickle
+
+    (tmp_path / "imgs" / "00001_x").mkdir(parents=True)
+    from PIL import Image
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+        tmp_path / "imgs" / "00001_x" / "a.jpg")
+    with open(tmp_path / "bad.pkl", "wb") as f:
+        pickle.dump({"vision_only": 1}, f)
+    (tmp_path / "vocab.json").write_text("{}")
+    (tmp_path / "merges.txt").write_text("#version: 0.2\n")
+    with pytest.raises((SystemExit, KeyError)):
+        cli.main([
+            "features", "--images-dir", str(tmp_path / "imgs"),
+            "--clip-params", str(tmp_path / "bad.pkl"),
+            "--vocab", str(tmp_path / "vocab.json"),
+            "--merges", str(tmp_path / "merges.txt"),
+            "--cache-dir", str(tmp_path / "cache"), "--tiny",
+        ])
