@@ -120,9 +120,14 @@ def _build_retrieval_splits(
     feats = load_features(args.features)
     img, txt = feats["img_features"], feats["text_features"]
     test_img, test_txt = _resolve_test_features(args, feats)
+    kw = {}
+    if getattr(args, "images_per_class", None):
+        kw["images_per_class"] = args.images_per_class  # MEG: 12
+    if getattr(args, "train_reps", None):
+        kw["train_reps"] = args.train_reps  # MEG: 1
     train = build_retrieval_data(
         data_path, subjects, train=True, img_features=img, text_features=txt,
-        exclude_subject=train_exclude,
+        exclude_subject=train_exclude, **kw,
     )
     test = build_retrieval_data(
         data_path, subjects, train=False,
@@ -1285,6 +1290,11 @@ def main(argv=None):
     p.add_argument("--cross-subject", action="store_true",
                    help="leave-one-out: exclude --test-subject from training")
     p.add_argument("--test-subject", default=None)
+    p.add_argument("--images-per-class", type=int, default=None,
+                   dest="images_per_class",
+                   help="train images per concept (EEG 10; THINGS-MEG 12)")
+    p.add_argument("--train-reps", type=int, default=None, dest="train_reps",
+                   help="repetitions per train image (EEG 4; THINGS-MEG 1)")
     p.add_argument("--mesh", action="store_true", help="use all devices (dp)")
     p.add_argument("--resume-dir", default=None,
                    help="existing run directory: restore the latest orbax "

@@ -73,6 +73,17 @@ _OPEN_MMAPS: dict = {}
 def _load_subject_file(data_path: str, subject: str, train: bool) -> dict:
     name = "preprocessed_eeg_training.npy" if train else "preprocessed_eeg_test.npy"
     path = os.path.join(data_path, subject, name)
+    if not os.path.exists(path):
+        # THINGS-MEG pickles (cli preprocess-meg / the reference notebook's
+        # layout, preprocess/meg.py::save_meg) live under the same
+        # per-subject convention with 'meg' names and a 'meg_data' key
+        meg = os.path.join(
+            data_path, subject,
+            "preprocessed_meg_train.npy" if train
+            else "preprocessed_meg_test.npy",
+        )
+        if os.path.exists(meg):
+            path = meg
 
     # Sidecar raw-array cache: the reference pickles a dict into the .npy
     # (preprocessing_utils.py:256-258), which forces a full unpickle copy of
@@ -97,7 +108,8 @@ def _load_subject_file(data_path: str, subject: str, train: bool) -> dict:
             with np.load(cache_meta, allow_pickle=True) as meta:
                 out = {k: meta[k] for k in meta.files}
             out["ch_names"] = list(out.get("ch_names", np.asarray([])))
-            out["preprocessed_eeg_data"] = m.array
+            key = str(out.pop("data_key", "preprocessed_eeg_data"))
+            out[key] = m.array
             return out
         except Exception:
             # damaged/truncated cache (e.g. killed writer): fall back to the
@@ -114,15 +126,17 @@ def _load_subject_file(data_path: str, subject: str, train: bool) -> dict:
     # tolerate a 0-d object array from np.save(dict) too
     if isinstance(raw, np.ndarray):
         raw = raw.item()
+    key = "preprocessed_eeg_data" if "preprocessed_eeg_data" in raw else "meg_data"
     try:  # best effort — data dirs may be read-only
         # write-to-temp + rename: a concurrent reader must never pass the
         # mtime check and map a half-written cache
         tmp = cache_data + ".tmp.npy"  # .npy suffix: np.save appends otherwise
-        np.save(tmp, np.asarray(raw["preprocessed_eeg_data"]))
+        np.save(tmp, np.asarray(raw[key]))
         np.savez(
             cache_meta + ".tmp.npz",
             times=np.asarray(raw["times"]),
             ch_names=np.asarray(raw.get("ch_names", []), dtype=object),
+            data_key=key,
         )
         os.replace(cache_meta + ".tmp.npz", cache_meta)
         os.replace(tmp, cache_data)
@@ -157,9 +171,26 @@ def load_things_eeg_subject(
 
     train: (n_cls*10*4, C, T'), labels repeat-interleaved;
     test averaged: (200, C, T'); un-averaged: (200*80, C, T').
+
+    THINGS-MEG pickles (``meg_data`` key, the 5-D notebook layout —
+    train (n_cls, imgs, reps, C, T), test (n_cls, 1, reps, C, T)) load
+    through the same interface: the extra axis folds into the EEG layout
+    and ``n_img_per_cls`` comes from the stored shape (12) instead of 10.
     """
     raw = _load_subject_file(data_path, subject, train)
-    data = np.asarray(raw["preprocessed_eeg_data"], dtype=dtype)
+    n_img_per_cls = 10
+    if "preprocessed_eeg_data" in raw:
+        data = np.asarray(raw["preprocessed_eeg_data"], dtype=dtype)
+    else:
+        data = np.asarray(raw["meg_data"], dtype=dtype)
+        if train:
+            # (n_cls, imgs, reps, C, T) → (n_cls*imgs, reps, C, T)
+            n_img_per_cls = data.shape[1]
+            data = data.reshape(
+                data.shape[0] * data.shape[1], *data.shape[2:]
+            )
+        else:
+            data = data[:, 0]  # (n_cls, 1, reps, C, T) → (n_cls, reps, C, T)
     mask = _time_window_mask(raw["times"], time_window, data.shape[-1])
     if mask.shape[0] == data.shape[-1]:
         data = data[..., mask]
@@ -168,7 +199,6 @@ def load_things_eeg_subject(
         # (n_cls*10, reps=4, C, T) stored flat in class-major order
         n_cond, n_rep = data.shape[0], data.shape[1]
         eeg = data.reshape(n_cond * n_rep, *data.shape[2:])
-        n_img_per_cls = 10
         n_cls = n_cond // n_img_per_cls
         labels = np.repeat(np.arange(n_cls, dtype=np.int32), n_img_per_cls * n_rep)
         return eeg, labels
@@ -233,7 +263,9 @@ def build_retrieval_data(
     else:
         block = labels.shape[0] // len(eeg_list)
         local = np.arange(labels.shape[0]) % block
-        reps = 1 if average_test_reps else 80
+        n_cls_sub = int(labels[:block].max()) + 1
+        # per-concept repetition count from the data itself (EEG 80, MEG 12)
+        reps = 1 if average_test_reps else max(1, block // n_cls_sub)
         text_idx = (local // reps).astype(np.int32)
         img_idx = text_idx.copy()
         ipc = 1
