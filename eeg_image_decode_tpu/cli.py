@@ -307,8 +307,12 @@ def cmd_evaluate(args):
     )
     ckpt = Checkpointer(os.path.join(args.run_dir, "ckpt"))
     step = ckpt.latest_step() if args.step is None else args.step
+    if step is None:
+        raise SystemExit(f"no checkpoints under {args.run_dir}/ckpt")
     try:
         state = ckpt.restore(step, state)
+    except FileNotFoundError as e:
+        raise SystemExit(str(e)) from None
     except Exception as e:  # orbax raises structure mismatches deep inside
         raise SystemExit(
             f"checkpoint under {args.run_dir} does not match encoder "

@@ -716,3 +716,16 @@ def test_cli_features_rejects_bad_params_pickle(tmp_path):
             "--merges", str(tmp_path / "merges.txt"),
             "--cache-dir", str(tmp_path / "cache"), "--tiny",
         ])
+
+
+def test_cli_evaluate_missing_checkpoint_clear_error(tmp_path):
+    (tmp_path / "empty_run").mkdir()
+    _write_two_subject_tree(tmp_path)
+    with pytest.raises(SystemExit, match="no checkpoints"):
+        cli.main([
+            "evaluate", "--run-dir", str(tmp_path / "empty_run"),
+            "--data-path", str(tmp_path),
+            "--features", str(tmp_path / "f.npz"),
+            "--encoder", "nice", "--subjects", "sub-01",
+            "--dtype", "float32", "--eval-ks", "2,6",
+        ])
