@@ -137,8 +137,23 @@ def _build_retrieval_splits(
     return train, test
 
 
+def _resolve_subjects(args) -> list[str]:
+    """``--subjects all`` → every ``sub-*`` directory under the data path
+    (the reference hardcodes the sub-01..sub-10 list, ``ATMS_retrieval.py:527``)."""
+    if args.subjects != "all":
+        return args.subjects.split(",")
+    root = _resolve_data_path(args)
+    subs = sorted(
+        d for d in os.listdir(root)
+        if d.startswith("sub-") and os.path.isdir(os.path.join(root, d))
+    )
+    if not subs:
+        raise SystemExit(f"--subjects all: no sub-* directories under {root}")
+    return subs
+
+
 def cmd_train_retrieval(args):
-    subjects = args.subjects.split(",")
+    subjects = _resolve_subjects(args)
     if getattr(args, "sweep", False):
         return _train_retrieval_sweep(args, subjects)
     _train_retrieval_one(args, subjects)
@@ -275,7 +290,7 @@ def cmd_evaluate(args):
     )
     from eeg_image_decode_tpu.train.evaluator import retrieval_eval
 
-    subjects = args.subjects.split(",")
+    subjects = _resolve_subjects(args)
     data_path = _resolve_data_path(args)
     if not args.features:
         raise SystemExit("need --features (CLIP cache with a test split)")
@@ -1283,7 +1298,8 @@ def main(argv=None):
                         "this dtype (halves per-batch transfer bytes)")
     _add_common(p)
     p.add_argument("--encoder", default="atms")
-    p.add_argument("--subjects", default="sub-01")
+    p.add_argument("--subjects", default="sub-01",
+                   help="comma list, or 'all' to scan sub-* under the data path")
     p.add_argument("--joint", action="store_true",
                    help="joint training over all subjects (C18)")
     p.add_argument("--sweep", action="store_true",
@@ -1320,7 +1336,8 @@ def main(argv=None):
     p.add_argument("--step", type=int, default=None,
                    help="checkpoint step to score (default: latest)")
     p.add_argument("--encoder", default="atms")
-    p.add_argument("--subjects", default="sub-01")
+    p.add_argument("--subjects", default="sub-01",
+                   help="comma list, or 'all' to scan sub-* under the data path")
     p.add_argument("--joint", action="store_true",
                    help="checkpoint was trained with --joint "
                         "(per-subject embedding tables)")

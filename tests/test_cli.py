@@ -729,3 +729,18 @@ def test_cli_evaluate_missing_checkpoint_clear_error(tmp_path):
             "--encoder", "nice", "--subjects", "sub-01",
             "--dtype", "float32", "--eval-ks", "2,6",
         ])
+
+
+def test_cli_subjects_all_expands_from_data_dir(tmp_path):
+    """`--subjects all` scans sub-* dirs (reference hardcodes the list)."""
+    _write_two_subject_tree(tmp_path)
+    args = argparse.Namespace(subjects="all", data_config=None,
+                              data_path=str(tmp_path))
+    assert cli._resolve_subjects(args) == ["sub-01", "sub-02"]
+    args.subjects = "sub-02"
+    assert cli._resolve_subjects(args) == ["sub-02"]
+    empty = tmp_path / "none"
+    empty.mkdir()
+    args.subjects, args.data_path = "all", str(empty)
+    with pytest.raises(SystemExit, match="no sub-"):
+        cli._resolve_subjects(args)
