@@ -85,7 +85,9 @@ def main():
     jax.config.update("jax_default_prng_impl", "rbg")
     from eeg_image_decode_tpu.utils.backend import wait_for_backend
 
-    wait_for_backend()
+    # patient: a failed init can itself block minutes, and this entry point
+    # is the round's one driver-run measurement — ride out short outages
+    wait_for_backend(attempts=6, delay_s=120.0)
     import jax.numpy as jnp
 
     from eeg_image_decode_tpu.core.config import ATMSConfig, ContrastiveTrainConfig
