@@ -175,6 +175,8 @@ def _train_retrieval_sweep(args, subjects):
             "--sweep is for the in-subject/cross-subject protocols; "
             "joint training is one model over all subjects already"
         )
+    os.makedirs(args.output_dir, exist_ok=True)
+    summary = os.path.join(args.output_dir, "sweep_summary.csv")
     rows = []
     for sub in subjects:
         if getattr(args, "cross_subject", False):
@@ -184,12 +186,12 @@ def _train_retrieval_sweep(args, subjects):
         else:
             row = _train_retrieval_one(args, [sub], sweep_subject=sub)
         rows.append({"subject": sub, **row})
-    os.makedirs(args.output_dir, exist_ok=True)
-    summary = os.path.join(args.output_dir, "sweep_summary.csv")
-    with open(summary, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-        w.writeheader()
-        w.writerows(rows)
+        # rewrite after every subject: a crash in round k must not discard
+        # the k-1 completed rounds' aggregate
+        with open(summary, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
     print(f"sweep summary: {summary}")
     print(json.dumps(rows))
 
@@ -243,7 +245,9 @@ def _train_retrieval_one(args, subjects, *, sweep_subject=None, protocol=None):
         out = args.resume_dir
     else:
         run_id = time.strftime("%Y-%m-%d_%H-%M-%S")
-        sub_tag = test_subject or subjects[0]
+        # in a sweep the round's subject names the run dir — never a stray
+        # --test-subject, which would collapse all rounds into one directory
+        sub_tag = sweep_subject or test_subject or subjects[0]
         if protocol == "cross":
             sub_tag = f"cross_exclude_{sub_tag}"
         out = run_directory(args.output_dir, args.encoder, sub_tag, run_id)
@@ -330,9 +334,10 @@ def cmd_evaluate(args):
         raise SystemExit(str(e)) from None
     except Exception as e:  # orbax raises structure mismatches deep inside
         raise SystemExit(
-            f"checkpoint under {args.run_dir} does not match encoder "
+            f"could not restore the checkpoint under {args.run_dir} — if it "
+            f"exists and is intact, it does not match encoder "
             f"'{args.encoder}' (joint={args.joint}): {e}"
-        ) from None
+        ) from e
     eval_fn = make_eval_features_fn(model)
     feats_arr, scale = eval_fn(
         state.params, state.batch_stats,
@@ -445,33 +450,6 @@ def cmd_latents(args):
     ))
 
 
-def _things_images_and_prompts(root: str) -> tuple[list[str], list[str]]:
-    """THINGS ``images_set`` layout (``<root>/<NNNNN_concept>/<img>.jpg``) →
-    (sorted image paths, one prompt per class dir). Prompts follow the
-    reference: ``"This picture is <concept>"`` with the concept taken after
-    the first underscore (``Retrieval/eegdatasets_leaveone.py:96-106``; a
-    dir without an underscore keeps its whole name instead of being
-    silently skipped like the reference does)."""
-    dirs = sorted(
-        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
-    )
-    if not dirs:
-        raise SystemExit(f"no class directories under {root}")
-    exts = (".png", ".jpg", ".jpeg")
-    paths, prompts = [], []
-    for d in dirs:
-        desc = d.split("_", 1)[1] if "_" in d else d
-        prompts.append(f"This picture is {desc}")
-        sub = os.path.join(root, d)
-        paths.extend(
-            os.path.join(sub, f) for f in sorted(os.listdir(sub))
-            if f.lower().endswith(exts)
-        )
-    if not paths:
-        raise SystemExit(f"no images under the class dirs of {root}")
-    return paths, prompts
-
-
 def cmd_features(args):
     """Build the CLIP feature cache — the ``--features``/``--test-features``
     input of train-retrieval — from a THINGS-layout image dir, natively on
@@ -486,9 +464,10 @@ def cmd_features(args):
 
     from eeg_image_decode_tpu.data.features import (
         FlaxCLIPFeatureEncoder,
-        cache_path,
+        clip_cache_path,
         load_or_compute_clip_features,
     )
+    from eeg_image_decode_tpu.data.things_eeg import things_images_and_prompts
     from eeg_image_decode_tpu.data.tokenizers import CLIPBPETokenizer
     from eeg_image_decode_tpu.models.clip_vit import (
         CLIPTextConfig,
@@ -525,15 +504,22 @@ def cmd_features(args):
         )
     enc = FlaxCLIPFeatureEncoder(vt, params["vision"], tt, params["text"],
                                  tok)
-    paths, prompts = _things_images_and_prompts(args.images_dir)
+    try:
+        paths, prompts = things_images_and_prompts(args.images_dir)
+    except ValueError as e:
+        raise SystemExit(str(e)) from None
     normalize = not args.raw
+    # tiny runs get their own cache identity — a tiny smoke test and the
+    # real ViT-H encode on the same images/split must never share a file
+    model_name = "tiny-clip" if args.tiny else "ViT-H-14"
     out = load_or_compute_clip_features(
         args.cache_dir, args.split, paths, prompts,
+        model_name=model_name,
         normalize_img=normalize, batch_size=args.batch_size or 20,
         flax_encoder=enc,
     )
-    model_tag = f"ViT-H-14-{'n' if normalize else 'r'}"
-    cache = cache_path(args.cache_dir, model_tag, args.split, paths)
+    cache = clip_cache_path(args.cache_dir, args.split, paths,
+                            model_name=model_name, normalize_img=normalize)
     print(json.dumps({
         "n_images": len(paths), "n_classes": len(prompts),
         "img_shape": list(out["img_features"].shape),

@@ -36,6 +36,16 @@ def cache_path(
     return os.path.join(cache_dir, f"{safe}_features_{split}_{fp}.npz")
 
 
+def clip_cache_path(
+    cache_dir: str, split: str, image_paths: list[str],
+    *, model_name: str = "ViT-H-14", normalize_img: bool = True,
+) -> str:
+    """The exact cache file :func:`load_or_compute_clip_features` reads and
+    writes for these arguments — the single source of the key derivation."""
+    tag = f"{model_name}-{'n' if normalize_img else 'r'}"
+    return cache_path(cache_dir, tag, split, image_paths)
+
+
 def save_features(
     path: str, *, img_features: np.ndarray, text_features: np.ndarray, **extra
 ) -> None:
@@ -291,8 +301,8 @@ def load_or_compute_clip_features(
     the native tokenizer) when given — or whenever ``open_clip`` is absent
     it is REQUIRED; the torch path is only a convenience for environments
     that already have the hub packages."""
-    path = cache_path(cache_dir, f"{model_name}-{'n' if normalize_img else 'r'}",
-                      split, image_paths)
+    path = clip_cache_path(cache_dir, split, image_paths,
+                           model_name=model_name, normalize_img=normalize_img)
     if os.path.exists(path):
         return load_features(path)
     if flax_encoder is None:

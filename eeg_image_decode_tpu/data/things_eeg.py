@@ -260,6 +260,18 @@ def build_retrieval_data(
         text_idx = (local // (images_per_class * train_reps)).astype(np.int32)
         img_idx = (local // train_reps).astype(np.int32)
         ipc = images_per_class
+        # text_idx must reproduce the loader's class labels exactly; a
+        # mismatch means images_per_class/train_reps disagree with the
+        # stored layout (e.g. MEG's 12×1 loaded with the EEG default 10×4)
+        # and every EEG row would silently pair with the wrong CLIP feature
+        if not np.array_equal(text_idx, labels.astype(np.int32)):
+            raise ValueError(
+                f"images_per_class={images_per_class} × train_reps="
+                f"{train_reps} does not match the stored layout "
+                f"({block} rows / {int(labels[:block].max()) + 1} classes "
+                "per subject) — for THINGS-MEG pass images_per_class=12, "
+                "train_reps=1 (CLI: --images-per-class 12 --train-reps 1)"
+            )
     else:
         block = labels.shape[0] // len(eeg_list)
         local = np.arange(labels.shape[0]) % block
@@ -285,7 +297,10 @@ def build_retrieval_data(
 
 def list_image_classes(img_directory: str) -> tuple[list[str], list[str]]:
     """Sorted class folders → (folder names, text prompts). Prompt template
-    'This picture is {description}' (ref ``eegdatasets_leaveone.py:96-105``)."""
+    'This picture is {description}' (ref ``eegdatasets_leaveone.py:96-105``).
+    Folders without an underscore get no prompt, exactly like the reference
+    — which silently MISALIGNS prompts with classes when such a folder
+    exists; prefer :func:`things_images_and_prompts` for new code."""
     dirs = sorted(
         d
         for d in os.listdir(img_directory)
@@ -298,3 +313,29 @@ def list_image_classes(img_directory: str) -> tuple[list[str], list[str]]:
         desc = d[d.index("_") + 1 :]
         prompts.append(f"This picture is {desc}")
     return dirs, prompts
+
+
+def things_images_and_prompts(root: str) -> tuple[list[str], list[str]]:
+    """THINGS ``images_set`` layout (``<root>/<NNNNN_concept>/<img>.jpg``) →
+    (sorted image paths, one prompt per class dir), the aligned pair the
+    CLIP feature cache needs. Same template as :func:`list_image_classes`,
+    but a dir without an underscore keeps its whole name as the concept
+    instead of being skipped, so prompts always stay class-aligned."""
+    dirs = sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+    if not dirs:
+        raise ValueError(f"no class directories under {root}")
+    exts = (".png", ".jpg", ".jpeg")
+    paths, prompts = [], []
+    for d in dirs:
+        desc = d.split("_", 1)[1] if "_" in d else d
+        prompts.append(f"This picture is {desc}")
+        sub = os.path.join(root, d)
+        paths.extend(
+            os.path.join(sub, f) for f in sorted(os.listdir(sub))
+            if f.lower().endswith(exts)
+        )
+    if not paths:
+        raise ValueError(f"no images under the class dirs of {root}")
+    return paths, prompts

@@ -126,3 +126,17 @@ def test_meg_cli_training_end_to_end(tmp_path, capsys):
     row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(row["loss"])
     assert 0.0 <= row["top1_k2"] <= 1.0
+
+
+def test_meg_without_layout_flags_fails_fast(tmp_path):
+    """MEG data loaded with the EEG default images_per_class=10/train_reps=4
+    must raise (not silently mis-pair EEG rows with wrong CLIP features)."""
+    _write_meg_subject(tmp_path, "sub-01")
+    D = 16
+    img = np.zeros((N_CLS * IMGS, D), np.float32)
+    txt = np.zeros((N_CLS, D), np.float32)
+    with pytest.raises(ValueError, match="images-per-class"):
+        build_retrieval_data(
+            str(tmp_path), ["sub-01"], train=True,
+            img_features=img, text_features=txt,
+        )
