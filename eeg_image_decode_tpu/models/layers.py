@@ -319,19 +319,23 @@ class ProjectionHead(nn.Module):
 
     ``fused=True`` runs the whole head as one VMEM-resident Pallas kernel
     (``ops/projection.py``: both directions native, in-kernel PRNG dropout,
-    tanh GELU — |Δ| ≲ 1e-3 vs the XLA path's exact erf). Default off pending
-    an on-chip measurement ('auto' resolves via that measured verdict)."""
+    tanh GELU — |Δ| ≲ 1e-3 vs the XLA path's exact erf). Measured on chip
+    (scripts/bench_projection.py, interleaved A/B ×3): the XLA chain wins
+    94.4k vs 95.3k samples/s — these matmuls are already MXU-bound and XLA
+    fuses the elementwise tail, so 'auto' resolves to False (docs/PERF.md
+    ledger)."""
 
     proj_dim: int = 1024
     dropout: float = 0.5
     dtype: jnp.dtype = jnp.float32
-    #: False | True | 'auto' — 'auto' currently resolves to False pending the
-    #: on-chip A/B (scripts/bench_projection.py); flip after a measured win
+    #: False | True | 'auto' — 'auto' resolves to False per the on-chip A/B
+    #: (scripts/bench_projection.py, docs/PERF.md): fused ~94.4k vs XLA
+    #: ~95.3k samples/s on the flagship step
     fused: bool | str = "auto"
 
     def _use_fused(self) -> bool:
         if self.fused == "auto":
-            return False  # pending on-chip measurement
+            return False  # measured: XLA chain wins (docs/PERF.md)
         return bool(self.fused)
 
     @nn.compact
