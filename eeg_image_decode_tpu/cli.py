@@ -620,6 +620,40 @@ def cmd_preprocess(args):
     print(f"wrote {out_dir}")
 
 
+def _load_concept_index(path: str) -> np.ndarray:
+    """THINGS ``image_concept_index.csv``: one 1-based concept index per
+    image row (the notebook reads it ``pd.read_csv(header=None).iloc[:, 0]``
+    — ``MEG-preprocessing/pre_possess.ipynb`` cells 24-27). Tolerates
+    comma- or whitespace-delimited rows, extra columns, and one header
+    line; anything else fails loudly instead of degenerating the split
+    (``np.genfromtxt`` on a comma CSV silently returns all −1, which
+    would make every train concept 'overlap' and drop the whole split)."""
+    vals: list[int] = []
+    with open(path) as f:
+        for lineno, line in enumerate(f, 1):
+            line = line.strip()
+            if not line:
+                continue
+            first = line.replace(",", " ").split()[0]
+            try:
+                vals.append(int(first))
+            except ValueError:
+                if lineno == 1:  # header row
+                    continue
+                raise SystemExit(
+                    f"{path}:{lineno}: non-integer concept index {first!r}"
+                ) from None
+    col = np.asarray(vals, dtype=np.int64)
+    if col.size == 0:
+        raise SystemExit(f"{path}: no concept indices found")
+    if col.min() < 1:
+        raise SystemExit(
+            f"{path}: concept indices must be 1-based positive "
+            f"(got min {col.min()})"
+        )
+    return col
+
+
 def cmd_preprocess_meg(args):
     """THINGS-MEG: exported epochs npz → reference-layout train/test pickles
     — the notebook pipeline ``MEG-preprocessing/pre_possess.ipynb`` cells
@@ -642,11 +676,7 @@ def cmd_preprocess_meg(args):
         # image-level event ids + THINGS image→concept map (the notebook's
         # real flow: zs images by repetition count, concept-overlap filter,
         # 12-images-per-concept train grouping)
-        col = np.genfromtxt(args.image_concept_csv, dtype=np.int64)
-        if col.ndim > 1:
-            col = col[:, 0]
-        if col[0] <= 0:  # header row parsed as -1/0
-            col = col[1:]
+        col = _load_concept_index(args.image_concept_csv)
         train, test, train_ids, test_ids = split_meg_images(
             epochs, d["event_ids"], col, test_reps=args.test_reps,
             imgs_per_concept=args.train_reps,
@@ -692,7 +722,9 @@ def cmd_serve(args):
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.encoder == "atms":
-        model = build_encoder("atms", config=ATMSConfig(), dtype=dtype)
+        model = build_encoder(
+            "atms", config=ATMSConfig(joint_train=args.joint), dtype=dtype
+        )
     else:
         model = build_encoder(args.encoder, dtype=dtype)
     # template state at the advertised input shape, then restore the run
@@ -702,7 +734,16 @@ def cmd_serve(args):
         jnp.zeros((2,), jnp.int32),
     )
     ckpt = Checkpointer(os.path.join(args.run_dir, "ckpt"))
-    state = ckpt.restore(None, state)
+    try:
+        state = ckpt.restore(None, state)
+    except FileNotFoundError as e:
+        raise SystemExit(str(e)) from None
+    except Exception as e:  # orbax raises structure mismatches deep inside
+        raise SystemExit(
+            f"could not restore the checkpoint under {args.run_dir} — if it "
+            f"exists and is intact, it does not match encoder "
+            f"'{args.encoder}' (joint={args.joint}): {e}"
+        ) from e
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     feats = load_features(args.features)
@@ -1001,6 +1042,16 @@ def _load_embedding_array(path: str) -> np.ndarray:
     return np.asarray(d, np.float32)
 
 
+def _load_grid_array(path: str) -> np.ndarray:
+    """(N, T, D) GIT visual-token grids from ``.npy``/``.npz`` (named key
+    preferred) — one resolver so train and test grids can't drift."""
+    d = np.load(path)
+    if hasattr(d, "files"):
+        key = "grids" if "grids" in d.files else d.files[0]
+        return np.asarray(d[key], np.float32)
+    return np.asarray(d, np.float32)
+
+
 def _compute_git_grids(args, images_dir: str, *, split: str) -> np.ndarray:
     """Images → GIT ViT-L visual-token grids through the native flax tower,
     content-key cached (the reference's ``ViT-L-14_features_GIT_*.pt``)."""
@@ -1049,10 +1100,7 @@ def cmd_train_adapter(args):
 
     embeds = _load_embedding_array(args.embeddings)
     if args.grids:
-        d = np.load(args.grids)
-        key = ("grids" if hasattr(d, "files") and "grids" in d.files
-               else d.files[0] if hasattr(d, "files") else None)
-        grids = np.asarray(d[key] if key else d, np.float32)
+        grids = _load_grid_array(args.grids)
     elif args.images_dir and args.git_vision_params:
         grids = _compute_git_grids(args, args.images_dir, split="train")
     else:
@@ -1082,11 +1130,7 @@ def cmd_train_adapter(args):
     if args.test_embeddings:
         test_e = _load_embedding_array(args.test_embeddings)
         if args.test_grids:
-            d = np.load(args.test_grids)
-            test_g = np.asarray(
-                d["grids"] if hasattr(d, "files") and "grids" in d.files
-                else d[d.files[0]] if hasattr(d, "files") else d, np.float32,
-            )
+            test_g = _load_grid_array(args.test_grids)
         elif args.test_images_dir and args.git_vision_params:
             test_g = _compute_git_grids(
                 args, args.test_images_dir, split="test"
@@ -1428,6 +1472,9 @@ def main(argv=None):
     p.add_argument("--run-dir", required=True,
                    help="training run directory (orbax ckpt inside)")
     p.add_argument("--encoder", default="atms")
+    p.add_argument("--joint", action="store_true",
+                   help="checkpoint was trained with --joint "
+                        "(per-subject embedding tables)")
     p.add_argument("--features", required=True,
                    help=".npz with the gallery CLIP features "
                         "(img_features_test or img_features)")

@@ -33,9 +33,9 @@ def _check_request(eeg: np.ndarray, subject_ids) -> tuple[np.ndarray, np.ndarray
         raise ValueError(f"eeg must be (B, C, T); got shape {eeg.shape}")
     if eeg.shape[0] == 0:
         raise ValueError("request contains zero EEG rows")
-    if np.isscalar(subject_ids):
-        subject_ids = np.full(eeg.shape[0], subject_ids)
     subject_ids = np.asarray(subject_ids, np.int32)
+    if subject_ids.ndim == 0:  # scalar OR 0-d array (JSON/npz wire forms)
+        subject_ids = np.full(eeg.shape[0], subject_ids, np.int32)
     if subject_ids.shape != (eeg.shape[0],):
         raise ValueError(
             f"subject_ids shape {subject_ids.shape} does not match "

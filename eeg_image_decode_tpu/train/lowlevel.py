@@ -245,7 +245,11 @@ class LowLevelTrainer:
                 checkpointer.save(epochs, self.state)
             save_history(checkpointer, history)
             checkpointer.manager.wait_until_finished()  # durable final save
-        if self._preview is not None:
+        if (
+            self._preview is not None
+            and epochs > start_epoch  # no-op resume: nothing new to decode
+            and epochs % self._preview["every"] != 0  # else loop just wrote it
+        ):
             self._write_previews(epochs - 1, eeg)  # final previews (ref eval)
         return history
 

@@ -111,7 +111,14 @@ def test_lowlevel_images_to_previews_end_to_end(rng, tmp_path, capsys):
         vae, vparams, preview_dir=str(tmp_path / "previews"),
         preview_every=1, n_previews=2,
     )
+    writes: list[int] = []
+    orig_write = trainer._write_previews
+    trainer._write_previews = lambda ep, e: (writes.append(ep),
+                                             orig_write(ep, e))
     trainer.train(eeg, latents, log_fn=None)
+    # one decode per due epoch, no duplicate final write when the loop
+    # already wrote epochs-1 (epochs % preview_every == 0)
+    assert writes == [0, 1]
     for epoch in (0, 1):
         p = tmp_path / "previews" / f"epoch_{epoch:04d}" / "00.png"
         assert p.exists(), p

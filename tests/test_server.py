@@ -97,6 +97,22 @@ def test_server_end_to_end():
         assert status == 200
         assert np.asarray(json.loads(out)["indices"]).shape == (4, 2)
 
+        # scalar subject_ids broadcasts over the wire too (JSON int and
+        # 0-d npz array — the direct-API form serve.py documents)
+        body = json.dumps({"eeg": test.eeg[:3].tolist(),
+                           "subject_ids": 1, "k": 2}).encode()
+        status, _, out = _post(f"{base}/v1/retrieve", body,
+                               "application/json")
+        assert status == 200
+        assert np.asarray(json.loads(out)["indices"]).shape == (3, 2)
+        buf = io.BytesIO()
+        np.savez(buf, eeg=test.eeg[:3], subject_ids=np.asarray(1, np.int32),
+                 k=np.asarray(2))
+        status, _, out = _post(f"{base}/v1/retrieve", buf.getvalue(),
+                               "application/octet-stream")
+        assert status == 200
+        assert np.asarray(json.loads(out)["indices"]).shape == (3, 2)
+
         # reconstruct → npz image bytes
         buf = io.BytesIO()
         np.savez(buf, eeg=test.eeg[:2],

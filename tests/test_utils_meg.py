@@ -142,3 +142,40 @@ def test_meg_crop_and_split(rng):
 
     tr5, te5 = to_reference_layout(train, test)
     assert tr5.shape[2] == 1 and te5.shape[1] == 1
+
+
+def test_load_concept_index_formats(tmp_path):
+    """The THINGS image→concept CSV parser must accept every layout pandas
+    ``read_csv(header=None)`` would (the notebook's reader) and fail LOUDLY
+    on garbage — ``np.genfromtxt`` on a comma-delimited file silently
+    returns all −1, which used to degenerate the whole MEG split."""
+    import pytest
+
+    from eeg_image_decode_tpu.cli import _load_concept_index
+
+    plain = tmp_path / "plain.csv"
+    plain.write_text("1\n1\n2\n2\n")
+    np.testing.assert_array_equal(_load_concept_index(str(plain)),
+                                  [1, 1, 2, 2])
+
+    # comma-delimited with extra columns + a header row (pandas to_csv)
+    comma = tmp_path / "comma.csv"
+    comma.write_text("concept,extra\n3,9\n4,9\n")
+    np.testing.assert_array_equal(_load_concept_index(str(comma)), [3, 4])
+
+    # non-integer row past the header fails with a file:line message
+    bad = tmp_path / "bad.csv"
+    bad.write_text("1\nxyz\n")
+    with pytest.raises(SystemExit, match="bad.csv:2"):
+        _load_concept_index(str(bad))
+
+    # 0-based / negative indices fail instead of corrupting the split
+    zero = tmp_path / "zero.csv"
+    zero.write_text("0\n1\n")
+    with pytest.raises(SystemExit, match="1-based"):
+        _load_concept_index(str(zero))
+
+    empty = tmp_path / "empty.csv"
+    empty.write_text("header\n")
+    with pytest.raises(SystemExit, match="no concept"):
+        _load_concept_index(str(empty))
