@@ -1346,6 +1346,10 @@ def main(argv=None):
     p.add_argument("--train-reps", type=int, default=None, dest="train_reps",
                    help="repetitions per train image (EEG 4; THINGS-MEG 1)")
     p.add_argument("--mesh", action="store_true", help="use all devices (dp)")
+    p.add_argument("--multihost", action="store_true",
+                   help="join the multi-process runtime before touching "
+                        "devices (jax.distributed; autodetects on TPU pod "
+                        "slices) — run this same command on every host")
     p.add_argument("--resume-dir", default=None,
                    help="existing run directory: restore the latest orbax "
                         "checkpoint (full TrainState) and continue")
@@ -1625,6 +1629,16 @@ def main(argv=None):
     p.set_defaults(fn=cmd_smoke)
 
     args = parser.parse_args(argv)
+    if getattr(args, "multihost", False):
+        # must precede the first device touch (jax backends init lazily);
+        # on TPU pod slices every argument autodetects from metadata
+        import jax
+
+        from eeg_image_decode_tpu.parallel.multihost import initialize
+
+        idx, count = initialize()
+        print(f"multihost: process {idx}/{count}, "
+              f"{len(jax.local_devices())} local device(s)")
     args.fn(args)
 
 

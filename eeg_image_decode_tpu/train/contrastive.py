@@ -92,8 +92,12 @@ class DeviceData(struct.PyTreeNode):
 
     @staticmethod
     def from_host(data: EEGRetrievalData, mesh=None) -> "DeviceData":
+        from eeg_image_decode_tpu.parallel.multihost import replicate_global
+
         put = (
-            (lambda x: jax.device_put(x, replicated_sharding(mesh)))
+            # multi-host aware: device_put when single-process, global
+            # replicated arrays from identical host copies on a pod slice
+            (lambda x: replicate_global(mesh, x))
             if mesh is not None
             else jax.device_put
         )
@@ -346,8 +350,12 @@ class ContrastiveTrainer:
                 sharding=batch_sharding(mesh) if mesh is not None else None,
                 host_dtype=cfg.host_dtype,
             )
+            from eeg_image_decode_tpu.parallel.multihost import (
+                replicate_global,
+            )
+
             put = (
-                (lambda x: jax.device_put(x, replicated_sharding(mesh)))
+                (lambda x: replicate_global(mesh, x))
                 if mesh is not None
                 else jax.device_put
             )

@@ -1,0 +1,109 @@
+"""Multi-host (pod-slice) runtime tests.
+
+The centerpiece spawns a REAL 2-process JAX cluster on CPU (4 virtual
+devices per process, gloo collectives over localhost TCP — the DCN
+stand-in) and runs one full contrastive train step over the global
+8-device mesh through ``parallel/multihost.py``'s feeding helpers; both
+members must agree bit-for-bit with each other and match the
+single-process 8-device value. This is the multi-node test the reference
+cannot have (its distributed surface is one never-activated NCCL
+all-gather, ``models/loss.py:20-75``, and "multi-node is never tested" —
+SURVEY.md §4)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from eeg_image_decode_tpu.core.mesh import create_mesh
+from eeg_image_decode_tpu.parallel import multihost
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_single_process_helpers_degenerate_to_device_put(mesh8):
+    """Single-process, the feeding helpers ARE device_put (same shardings,
+    same values) and the row slice is the whole batch."""
+    assert not multihost.is_multiprocess()
+    assert multihost.process_local_slice(16, mesh8) == slice(0, 16)
+
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    g = multihost.shard_global_batch(mesh8, x, global_rows=16)
+    assert g.sharding == NamedSharding(mesh8, P("dp"))
+    np.testing.assert_array_equal(np.asarray(g), x)
+
+    r = multihost.replicate_global(mesh8, {"a": x})
+    assert r["a"].sharding == NamedSharding(mesh8, P())
+    np.testing.assert_array_equal(np.asarray(r["a"]), x)
+
+    # initialize() with no configuration is a harmless single-process no-op
+    assert multihost.initialize() == (0, 1)
+
+
+def test_process_local_slice_on_subset_mesh():
+    """The slice is read off the sharding's device→index map, so it stays
+    correct on meshes built over a subset of the devices too."""
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs >= 4 devices")
+    sub = create_mesh(data_parallel=2, devices=[devs[0], devs[2]])
+    assert multihost.process_local_slice(8, sub) == slice(0, 8)
+
+
+def test_two_process_cluster_matches_single_process():
+    """2 processes × 4 CPU devices = one global 8-device mesh: a full train
+    step (BatchNorm psum, global-batch InfoNCE, AdamW, probe acc) fed via
+    make_array_from_process_local_data must reproduce the single-process
+    value, and both members must agree exactly."""
+    from tests.multihost_case import run_case
+
+    ref_loss, ref_acc = run_case(multihost_feed=False)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_COORDINATOR_ADDRESS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "_multihost_child.py"),
+             f"127.0.0.1:{port}", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=REPO,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"child failed:\n{out}"
+
+    results = {}
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+        assert lines, f"no RESULT line in:\n{out}"
+        _, pid, loss, acc = lines[0].split()
+        results[int(pid)] = (float(loss), float(acc))
+    assert set(results) == {0, 1}
+    # both cluster members see the identical replicated metrics
+    assert results[0] == results[1], results
+    loss, acc = results[0]
+    # and they match the single-process 8-device run (gloo reduction order
+    # vs in-process may differ in the last ulps)
+    np.testing.assert_allclose(loss, ref_loss, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(acc, ref_acc, rtol=0, atol=1e-6)
