@@ -638,7 +638,18 @@ def _load_concept_index(path: str) -> np.ndarray:
             try:
                 vals.append(int(first))
             except ValueError:
-                if lineno == 1:  # header row
+                # Line 1 may be a header — but ONLY treat it as one when it
+                # actually looks like a column name (an identifier-like
+                # token). A corrupt first DATA row ('NaN', '1.5', '12a')
+                # must fail loudly: silently skipping it would shift every
+                # image→concept mapping by one row and corrupt the zs/train
+                # split this parser exists to protect.
+                looks_like_header = (
+                    lineno == 1
+                    and first.replace("_", "").replace("-", "").isalpha()
+                    and first.lower() not in ("nan", "inf", "infinity")
+                )
+                if looks_like_header:
                     continue
                 raise SystemExit(
                     f"{path}:{lineno}: non-integer concept index {first!r}"

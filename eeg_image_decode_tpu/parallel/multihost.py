@@ -28,6 +28,8 @@ rule the rest of the framework follows (see ``docs/SCALING.md``).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -59,15 +61,51 @@ def initialize(
             local_device_ids=local_device_ids,
         )
     except RuntimeError as e:
-        # already initialized (idempotent re-entry) — fine; anything else
-        # with explicit args is a real configuration error
-        if "already initialized" not in str(e).lower() and want_explicit:
+        # Exactly two benign cases:
+        #   1. "already initialized" — idempotent re-entry.
+        #   2. "must be called before [backend touch]" in autodetect mode
+        #      with NO cluster configuration anywhere — a plain
+        #      single-process program calling initialize() defensively
+        #      after jax.devices(); nothing multi-host was ever intended.
+        # Everything else — coordinator unreachable, partial pod metadata,
+        # backend touched when a cluster config IS present — is a genuine
+        # bootstrap failure: swallowing it would silently leave each host
+        # training its own divergent single-process model while the user
+        # believes it is one global job.
+        msg = str(e).lower()
+        if "already initialized" in msg:
+            pass
+        elif (
+            "must be called before" in msg
+            and not want_explicit
+            and not _cluster_env_hint()
+        ):
+            pass
+        else:
             raise
     except ValueError:
         # no coordinator/autodetect info anywhere: single-process run
         if want_explicit:
             raise
     return jax.process_index(), jax.process_count()
+
+
+def _cluster_env_hint() -> bool:
+    """True when the environment carries any hint that this process was
+    launched as part of a multi-process job (coordinator address, SLURM /
+    OpenMPI ranks, TPU-pod megascale vars) — in which case a failed
+    bootstrap must NOT be silently downgraded to single-process."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        return True
+    for var in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"):
+        try:
+            if int(os.environ.get(var, "1")) > 1:
+                return True
+        except ValueError:
+            return True  # mangled value: fail safe, surface the error
+    return False
 
 
 def is_multiprocess() -> bool:
@@ -107,11 +145,15 @@ def process_local_slice(
     process ordering)."""
     sharding = NamedSharding(mesh, P(data_axis))
     imap = sharding.addressable_devices_indices_map((n_global,))
-    starts = sorted(
+    # Deduplicate: on a dp×mp mesh, devices along non-data axes REPLICATE the
+    # same row slice, so the raw map contains each (start, stop) once per
+    # replica — counting them repeatedly would make perfectly contiguous rows
+    # look overlapping and falsely trip the contiguity check below.
+    starts = sorted({
         (0 if idx[0].start is None else idx[0].start,
          n_global if idx[0].stop is None else idx[0].stop)
         for idx in imap.values()
-    )
+    })
     lo, hi = starts[0][0], starts[-1][1]
     covered = sum(b - a for a, b in starts)
     if covered != hi - lo:

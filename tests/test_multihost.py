@@ -64,6 +64,65 @@ def test_process_local_slice_on_subset_mesh():
     assert multihost.process_local_slice(8, sub) == slice(0, 8)
 
 
+def test_process_local_slice_on_dp_mp_mesh():
+    """On a dp×mp mesh, devices along mp REPLICATE each dp row slice; the
+    contiguity check must count each slice once, not once per replica
+    (used to raise '(0, 2), (0, 2), (2, 4), (2, 4)... not contiguous' on a
+    generation-style 4×2 mesh)."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs >= 8 devices")
+    mesh = create_mesh(data_parallel=4, model_parallel=2)
+    assert multihost.process_local_slice(8, mesh) == slice(0, 8)
+    # and rows actually land replicated over mp / sharded over dp
+    x = np.arange(8, dtype=np.float32)
+    g = multihost.shard_global_batch(mesh, x, global_rows=8)
+    np.testing.assert_array_equal(np.asarray(g), x)
+
+
+def test_initialize_reraises_autodetect_bootstrap_failure(monkeypatch):
+    """A genuine bootstrap RuntimeError (coordinator unreachable, backend
+    already touched) must propagate even in autodetect mode — swallowing it
+    would leave each pod host silently training its own divergent model.
+    Only the idempotent 'already initialized' re-entry is benign."""
+    def boom(**kw):
+        raise RuntimeError("Distributed system initialization failed: "
+                           "coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="coordinator unreachable"):
+        multihost.initialize()  # autodetect mode (no explicit args)
+
+    def already(**kw):
+        raise RuntimeError("jax.distributed is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", already)
+    assert multihost.initialize() == (0, 1)  # benign re-entry
+
+    # late defensive call after backend touch: benign ONLY when nothing in
+    # the environment says this process belongs to a multi-process job
+    def late(**kw):
+        raise RuntimeError(
+            "jax.distributed.initialize() must be called before any JAX "
+            "calls that might initialise the XLA backend."
+        )
+
+    monkeypatch.setattr(jax.distributed, "initialize", late)
+    for var in ("JAX_COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
+                "SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"):
+        monkeypatch.delenv(var, raising=False)
+    assert multihost.initialize() == (0, 1)  # plain single-process: no-op
+
+    monkeypatch.setenv("SLURM_NTASKS", "4")  # part of a 4-task job
+    with pytest.raises(RuntimeError, match="must be called before"):
+        multihost.initialize()
+    monkeypatch.delenv("SLURM_NTASKS")
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    with pytest.raises(RuntimeError, match="must be called before"):
+        multihost.initialize()
+
+
 def test_two_process_cluster_matches_single_process():
     """2 processes × 4 CPU devices = one global 8-device mesh: a full train
     step (BatchNorm psum, global-batch InfoNCE, AdamW, probe acc) fed via

@@ -179,3 +179,12 @@ def test_load_concept_index_formats(tmp_path):
     empty.write_text("header\n")
     with pytest.raises(SystemExit, match="no concept"):
         _load_concept_index(str(empty))
+
+    # a CORRUPT first DATA row ('NaN', a float, a mangled token) is NOT a
+    # header — silently skipping it would shift every image→concept mapping
+    # by one row; it must fail loudly with file:line
+    for garbage in ("NaN,9\n3,9\n4,9\n", "1.5\n2\n", "12a\n2\n", "inf\n2\n"):
+        corrupt = tmp_path / "corrupt.csv"
+        corrupt.write_text(garbage)
+        with pytest.raises(SystemExit, match="corrupt.csv:1"):
+            _load_concept_index(str(corrupt))
