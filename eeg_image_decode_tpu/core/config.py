@@ -92,6 +92,14 @@ class ATMSConfig:
     emb_size: int = 40
     proj_dim: int = 1024
     proj_dropout: float = 0.5
+    #: exact-erf GELU in the attention FFN, matching the reference's
+    #: ``F.gelu`` default (``Transformer_EncDec.py:33-41``). The default
+    #: (False → tanh GELU) matches the fused Pallas kernel, which Mosaic
+    #: cannot lower erf for; set True when serving a checkpoint CONVERTED
+    #: from the reference so inference is activation-for-activation faithful
+    #: (|Δ| ≲ 1e-3 per activation otherwise, measured end-task delta in
+    #: docs/PARITY.md). True forces the plain-XLA attention path.
+    exact_gelu: bool = False
     #: fused Pallas attention layer when dropout inactive ('auto' → TPU only)
     fused_attention: bool | str = "auto"
     #: fused Pallas tsconv stage-1 ('auto' → TPU only)

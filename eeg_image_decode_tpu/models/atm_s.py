@@ -76,15 +76,36 @@ class ChannelAttentionLayer(nn.Module):
     d_ff: int = 256
     dropout: float = 0.25
     fused: bool | str = "auto"
+    #: exact-erf FFN GELU (reference semantics for converted checkpoints);
+    #: incompatible with the fused kernel — forces the XLA path
+    exact_gelu: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _use_fused(self) -> bool:
+        if self.exact_gelu:
+            return False
         if self.fused == "auto":
             return jax.default_backend() == "tpu"
         return bool(self.fused)
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        *,
+        deterministic: bool,
+        dropout_masks: dict | None = None,
+    ) -> jax.Array:
+        """``dropout_masks``: optional externally drawn pre-scaled keep-masks
+        for the layer's four dropout sites — ``m_attn`` (B,H,L,L) on the
+        softmax probs (ref ``SelfAttention_Family.py:69``), ``m_res`` (B,L,D)
+        on the attention output before the residual add
+        (``Transformer_EncDec.py:45``), ``m_ffn1`` (B,L,FF) after the FFN
+        activation (``:48``) and ``m_ffn2`` (B,L,D) after the second FFN conv
+        (``:49``). Same dict convention as
+        ``ops.attention.attention_layer_reference``. When given, the layer
+        runs the XLA path with those exact masks — the dropout-placement
+        parity hook."""
         from eeg_image_decode_tpu.ops.attention import fused_attention_layer
 
         head_dim = self.d_model // self.n_heads
@@ -108,7 +129,9 @@ class ChannelAttentionLayer(nn.Module):
         # runs fully fused. Off-TPU the hardware PRNG doesn't exist
         # (interpret mode stubs it), so dropout training falls back to XLA.
         on_tpu = jax.default_backend() == "tpu"
-        if self._use_fused() and (no_dropout or on_tpu):
+        if self._use_fused() and dropout_masks is None and (
+            no_dropout or on_tpu
+        ):
             params = {
                 "wq": wq, "bq": bq, "wk": wk, "bk": bk, "wv": wv, "bv": bv,
                 "wo": wo, "bo": bo, "ln1_s": ln1_s, "ln1_b": ln1_b,
@@ -138,6 +161,12 @@ class ChannelAttentionLayer(nn.Module):
                 + b.astype(dt)
             )
 
+        def drop(h, mask_name):
+            if dropout_masks is not None:
+                m = dropout_masks.get(mask_name)
+                return h if m is None else h * m.astype(h.dtype)
+            return nn.Dropout(self.dropout, deterministic=deterministic)(h)
+
         q = dense(x, wq, bq).reshape(B, L, self.n_heads, head_dim)
         k = dense(x, wk, bk).reshape(B, L, self.n_heads, head_dim)
         v = dense(x, wv, bv).reshape(B, L, self.n_heads, head_dim)
@@ -146,7 +175,7 @@ class ChannelAttentionLayer(nn.Module):
             "blhe,bshe->bhls", q, k, preferred_element_type=jnp.float32
         ) * (1.0 / jnp.sqrt(jnp.float32(head_dim)))
         attn = jax.nn.softmax(scores, axis=-1)
-        attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+        attn = drop(attn, "m_attn")
         out = jnp.einsum(
             "bhls,bshd->blhd", attn.astype(dt), v,
             preferred_element_type=jnp.float32,
@@ -160,16 +189,14 @@ class ChannelAttentionLayer(nn.Module):
             return ((h32 - mu) * jax.lax.rsqrt(var + 1e-6) * s + b).astype(dt)
 
         # post-norm residual (ref :45-51)
-        x = x + nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        x = x + drop(out, "m_res")
         x = ln(x, ln1_s, ln1_b)
         y = dense(x, w1, b1)
-        # tanh-gelu to match the fused kernel (Mosaic lowers neither erf/erfc)
-        y = nn.Dropout(self.dropout, deterministic=deterministic)(
-            nn.gelu(y, approximate=True)
-        )
-        y = nn.Dropout(self.dropout, deterministic=deterministic)(
-            dense(y, w2, b2)
-        )
+        # default: tanh-gelu to match the fused kernel (Mosaic lowers neither
+        # erf/erfc); exact_gelu=True restores the reference's erf GELU
+        # (Transformer_EncDec.py:33-41) for converted-checkpoint fidelity
+        y = drop(nn.gelu(y, approximate=not self.exact_gelu), "m_ffn1")
+        y = drop(dense(y, w2, b2), "m_ffn2")
         return ln(x + y, ln2_s, ln2_b)
 
 
@@ -186,8 +213,20 @@ class ATMS(nn.Module):
         subject_ids: jax.Array | None = None,
         *,
         deterministic: bool = True,
+        dropout_masks: dict | None = None,
     ) -> jax.Array:
+        """``dropout_masks``: optional dict of externally drawn pre-scaled
+        keep-masks pinning every stochastic site to explicit values — the
+        dropout-placement parity hook (the reference's seven sites:
+        ``Embed.py:162``, ``SelfAttention_Family.py:69``,
+        ``Transformer_EncDec.py:45,48-49``, ``ATMS_retrieval.py:110,160``).
+        Keys: ``"emb"`` (B,C+1,d_model), ``"layer{i}"`` (per-layer dict, see
+        :class:`ChannelAttentionLayer`), ``"tsconv"`` (broadcastable to the
+        (B,1,P,F) activation), ``"proj"`` (B,proj_dim). Missing keys mean
+        keep-all. Only meaningful with ``deterministic=False`` (train-mode
+        BatchNorm)."""
         cfg = self.config
+        dm = dropout_masks or {}
         h = ChannelTokenEmbedding(
             seq_len=cfg.seq_len,
             d_model=cfg.d_model,
@@ -196,7 +235,9 @@ class ATMS(nn.Module):
             joint_train=cfg.joint_train,
             dtype=self.dtype,
             name="embedding",
-        )(x, subject_ids, deterministic=deterministic)
+        )(x, subject_ids, deterministic=deterministic,
+          dropout_mask=dm.get("emb", jnp.ones((), self.dtype))
+          if dropout_masks is not None else None)
 
         for i in range(cfg.n_layers):
             h = ChannelAttentionLayer(
@@ -205,9 +246,12 @@ class ATMS(nn.Module):
                 d_ff=cfg.d_ff,
                 dropout=cfg.dropout,
                 fused=cfg.fused_attention,
+                exact_gelu=getattr(cfg, "exact_gelu", False),
                 dtype=self.dtype,
                 name=f"encoder_layer_{i}",
-            )(h, deterministic=deterministic)
+            )(h, deterministic=deterministic,
+              dropout_masks=dm.get(f"layer{i}", {})
+              if dropout_masks is not None else None)
         h = nn.LayerNorm(dtype=jnp.float32, name="encoder_norm")(h)
 
         # keep the first n_channels tokens — with the subject token prepended
@@ -227,7 +271,9 @@ class ATMS(nn.Module):
             bn1_impl=getattr(cfg, "tsconv_bn1", "flax"),
             dtype=self.dtype,
             name="enc_eeg",
-        )(h, deterministic=deterministic)
+        )(h, deterministic=deterministic,
+          dropout_mask=dm.get("tsconv", jnp.ones((), self.dtype))
+          if dropout_masks is not None else None)
 
         return ProjectionHead(
             proj_dim=cfg.proj_dim,
@@ -235,5 +281,7 @@ class ATMS(nn.Module):
             dtype=self.dtype,
             fused=getattr(cfg, "fused_projection", "auto"),
             name="proj_eeg",
-        )(tokens, deterministic=deterministic)
+        )(tokens, deterministic=deterministic,
+          dropout_mask=dm.get("proj", jnp.ones((), self.dtype))
+          if dropout_masks is not None else None)
 

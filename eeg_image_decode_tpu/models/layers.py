@@ -155,7 +155,13 @@ class TSConv(nn.Module):
         return bool(self.fused_stage1)
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        *,
+        deterministic: bool,
+        dropout_mask: jax.Array | None = None,
+    ) -> jax.Array:
         gram_bn = self._use_fused() and self.bn1_impl in (
             "gram", "gram2d", "gramfold"
         )
@@ -280,7 +286,13 @@ class TSConv(nn.Module):
             name="bn2",
         )(x)
         x = nn.elu(x)
-        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        # ref ATMS_retrieval.py:110: Dropout(0.5) closes the tsconv stack,
+        # before the 1x1 projection conv. ``dropout_mask`` injects a
+        # pre-drawn pre-scaled keep-mask (dropout-placement parity hook).
+        if dropout_mask is not None:
+            x = x * dropout_mask.astype(x.dtype)
+        else:
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         x = nn.Conv(self.emb_size, kernel_size=(1, 1), dtype=self.dtype,
                     name="proj_conv")(x)
         # (B, 1, n_tokens, emb) → (B, n_tokens, emb)
@@ -339,7 +351,13 @@ class ProjectionHead(nn.Module):
         return bool(self.fused)
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        *,
+        deterministic: bool,
+        dropout_mask: jax.Array | None = None,
+    ) -> jax.Array:
         import jax as _jax
 
         dt = self.dtype
@@ -350,7 +368,9 @@ class ProjectionHead(nn.Module):
 
         no_dropout = deterministic or self.dropout == 0.0
         on_tpu = _jax.default_backend() == "tpu"
-        if self._use_fused() and (no_dropout or on_tpu):
+        if self._use_fused() and dropout_mask is None and (
+            no_dropout or on_tpu
+        ):
             from eeg_image_decode_tpu.ops.projection import (
                 fused_projection_head,
             )
@@ -375,7 +395,12 @@ class ProjectionHead(nn.Module):
         x = dense(x, wi, bi)
         h = nn.gelu(x, approximate=False)
         h = dense(h, wr, br)
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        # ref Proj_eeg (ATMS_retrieval.py:157-167): dropout after the second
+        # Linear, inside the residual branch
+        if dropout_mask is not None:
+            h = h * dropout_mask.astype(h.dtype)
+        else:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         # LayerNorm in fp32, fast-variance — identical math to
         # nn.LayerNorm(dtype=jnp.float32) over the params above
         r = (x + h).astype(jnp.float32)

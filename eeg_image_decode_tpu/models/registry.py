@@ -34,8 +34,15 @@ class ContrastiveModel(nn.Module):
         subject_ids: jax.Array | None = None,
         *,
         deterministic: bool = True,
+        dropout_masks: dict | None = None,
     ) -> tuple[jax.Array, jax.Array]:
-        feats = self.encoder(x, subject_ids, deterministic=deterministic)
+        # dropout_masks only forwards when supplied — the mask-injection
+        # parity hook is ATMS-only (see models/atm_s.py); other encoders
+        # keep their plain signature
+        kw = {} if dropout_masks is None else {"dropout_masks": dropout_masks}
+        feats = self.encoder(
+            x, subject_ids, deterministic=deterministic, **kw
+        )
         scale = LogitScale(
             init_value=self.logit_scale_init, apply_exp=self.apply_exp,
             name="logit_scale",

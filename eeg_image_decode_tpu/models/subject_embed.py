@@ -69,6 +69,7 @@ class ChannelTokenEmbedding(nn.Module):
         subject_ids: jax.Array | None,
         *,
         deterministic: bool,
+        dropout_mask: jax.Array | None = None,
     ) -> jax.Array:
         x = x.astype(self.dtype)
         if self.joint_train:
@@ -107,4 +108,10 @@ class ChannelTokenEmbedding(nn.Module):
             ).astype(self.dtype)
             x = jnp.concatenate([tok, x], axis=1)
 
+        # ref Embed.py:162: one dropout on the full token sequence (subject
+        # token included). ``dropout_mask`` injects an externally drawn
+        # pre-scaled keep-mask — the dropout-PLACEMENT parity hook
+        # (tests/test_dropout_placement_parity.py)
+        if dropout_mask is not None:
+            return x * dropout_mask.astype(x.dtype)
         return nn.Dropout(self.dropout, deterministic=deterministic)(x)

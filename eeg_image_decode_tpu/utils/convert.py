@@ -50,6 +50,23 @@ def _ln(sd: dict, prefix: str):
             "bias": np.asarray(sd[f"{prefix}.bias"])}
 
 
+def reference_atms_config(**overrides):
+    """ATMSConfig preset for CONVERTED reference checkpoints.
+
+    The reference encoder's attention FFN uses exact-erf GELU
+    (``models/subject_layers/Transformer_EncDec.py:33-41``, torch ``F.gelu``
+    default); this framework's default is tanh GELU so the XLA path and the
+    fused Pallas kernel (which cannot lower erf) agree. When evaluating a
+    checkpoint trained by the reference, use this config so inference is
+    activation-for-activation faithful (the parity oracle pins it at
+    atol 2e-4 — ``tests/test_atms_torch_parity.py``).
+    """
+    from eeg_image_decode_tpu.core.config import ATMSConfig
+
+    overrides.setdefault("exact_gelu", True)
+    return ATMSConfig(**overrides)
+
+
 def convert_atms_state_dict(
     sd: dict, *, fused_tsconv: bool = False
 ) -> dict:

@@ -33,7 +33,8 @@ def _sinusoid_pe(n, d):
     return pe
 
 
-def _torch_atms_forward(sd, x_np, subject_id, *, training=False):
+def _torch_atms_forward(sd, x_np, subject_id, *, training=False,
+                        ffn_gelu="tanh", masks=None):
     """Reference forward in torch ops (no reference code reused).
 
     ``sd`` may hold numpy arrays (eval-only golden test) or live torch
@@ -41,7 +42,19 @@ def _torch_atms_forward(sd, x_np, subject_id, *, training=False):
     gradients flow and BatchNorm running stats update in place).
     ``training=True`` switches BatchNorm to batch statistics (torch momentum
     0.1 — the flax 0.9 convention mirrored).
+
+    ``masks``: optional pre-scaled keep-masks applied at the reference's
+    SEVEN dropout sites, in its placement (``Embed.py:162``,
+    ``SelfAttention_Family.py:69``, ``Transformer_EncDec.py:45,48-49``,
+    ``ATMS_retrieval.py:110`` tsconv, ``:157-167`` Proj_eeg). Keys (canonical
+    NHWC/blh layouts, transposed here as needed): ``emb`` (B,64,250),
+    ``m_attn`` (B,H,64,64), ``m_res`` (B,64,250), ``m_ffn1`` (B,64,256),
+    ``m_ffn2`` (B,64,250), ``tsconv`` (B,1,P,F), ``proj`` (B,1024).
     """
+    mk = None
+    if masks is not None:
+        mk = {k: (v if torch.is_tensor(v) else torch.tensor(np.asarray(v)))
+              for k, v in masks.items()}
     t = {
         k: v if torch.is_tensor(v) else torch.tensor(np.asarray(v))
         for k, v in sd.items()
@@ -57,6 +70,8 @@ def _torch_atms_forward(sd, x_np, subject_id, *, training=False):
         subject_id
     ].view(1, 1, -1).expand(B, 1, -1)
     h = torch.cat([subj, h], dim=1)  # (B, 64, 250)
+    if mk is not None and "emb" in mk:
+        h = h * mk["emb"]  # DataEmbedding output dropout (Embed.py:162)
 
     # post-norm attention layer
     p = "encoder.encoder.attn_layers.0"
@@ -72,16 +87,27 @@ def _torch_atms_forward(sd, x_np, subject_id, *, training=False):
     v = proj("value", h).view(B, -1, HEADS, hd)
     scores = torch.einsum("blhe,bshe->bhls", q, k) / np.sqrt(hd)
     attn = torch.softmax(scores, dim=-1)
+    if mk is not None and "m_attn" in mk:
+        attn = attn * mk["m_attn"]  # probs dropout (SelfAttention:69)
     out = torch.einsum("bhls,bshd->blhd", attn, v).reshape(B, -1, inner)
     out = F.linear(out, t[f"{p}.attention.out_projection.weight"],
                    t[f"{p}.attention.out_projection.bias"])
+    if mk is not None and "m_res" in mk:
+        out = out * mk["m_res"]  # residual dropout (Transformer_EncDec:45)
     h = h + out
     h = F.layer_norm(h, (D_MODEL,), t[f"{p}.norm1.weight"],
                      t[f"{p}.norm1.bias"], eps=1e-6)
     y = F.conv1d(h.transpose(1, 2), t[f"{p}.conv1.weight"],
                  t[f"{p}.conv1.bias"])
-    y = F.gelu(y, approximate="tanh")
+    # the reference's FFN uses exact-erf gelu (Transformer_EncDec.py:33-41);
+    # "tanh" matches this framework's default/fused-kernel semantics,
+    # "none" (exact) matches ATMSConfig(exact_gelu=True)
+    y = F.gelu(y, approximate=ffn_gelu)
+    if mk is not None and "m_ffn1" in mk:
+        y = y * mk["m_ffn1"].transpose(1, 2)  # post-activation (:48)
     y = F.conv1d(y, t[f"{p}.conv2.weight"], t[f"{p}.conv2.bias"]).transpose(1, 2)
+    if mk is not None and "m_ffn2" in mk:
+        y = y * mk["m_ffn2"]  # post-conv2 (:49)
     h = F.layer_norm(h + y, (D_MODEL,), t[f"{p}.norm2.weight"],
                      t[f"{p}.norm2.bias"], eps=1e-6)
     h = F.layer_norm(h, (D_MODEL,), t["encoder.encoder.norm.weight"],
@@ -102,6 +128,9 @@ def _torch_atms_forward(sd, x_np, subject_id, *, training=False):
                      t["enc_eeg.0.tsconv.5.weight"],
                      t["enc_eeg.0.tsconv.5.bias"], training, 0.1, 1e-5)
     h = F.elu(h)
+    if mk is not None and "tsconv" in mk:
+        # canonical NHWC (B,1,P,F) → torch NCHW (B,F,1,P)
+        h = h * mk["tsconv"].permute(0, 3, 1, 2)  # tsconv dropout (:110)
     h = F.conv2d(h, t["enc_eeg.0.projection.0.weight"],
                  t["enc_eeg.0.projection.0.bias"])
     h = h.permute(0, 2, 3, 1).reshape(B, -1)  # b e h w -> b (h w) e -> flat
@@ -109,8 +138,11 @@ def _torch_atms_forward(sd, x_np, subject_id, *, training=False):
     z = F.linear(h, t["proj_eeg.0.weight"], t["proj_eeg.0.bias"])
     # projector gelu is exact in both implementations; only the attention FFN
     # uses tanh-gelu (documented deviation, ops/attention.py)
-    z = z + F.linear(F.gelu(z),
-                     t["proj_eeg.1.fn.1.weight"], t["proj_eeg.1.fn.1.bias"])
+    r = F.linear(F.gelu(z),
+                 t["proj_eeg.1.fn.1.weight"], t["proj_eeg.1.fn.1.bias"])
+    if mk is not None and "proj" in mk:
+        r = r * mk["proj"]  # Proj_eeg residual-branch dropout (:157-167)
+    z = z + r
     z = F.layer_norm(z, (z.shape[-1],), t["proj_eeg.2.weight"],
                      t["proj_eeg.2.bias"], eps=1e-6)
     return z if torch.is_tensor(x_np) else z.numpy()
@@ -132,3 +164,33 @@ def test_atms_forward_matches_torch_oracle(rng):
     want = _torch_atms_forward(sd, x, sid)
     assert feats.shape == want.shape
     np.testing.assert_allclose(np.asarray(feats), want, atol=2e-3, rtol=2e-3)
+
+
+def test_atms_forward_exact_gelu_matches_reference_semantics(rng):
+    """Converted-checkpoint path: ATMSConfig(exact_gelu=True) must match a
+    torch oracle running the reference's EXACT-erf FFN gelu
+    (``Transformer_EncDec.py:33-41``) — and tighter than the tanh default,
+    since there is no activation-function delta left to absorb."""
+    from eeg_image_decode_tpu.utils.convert import reference_atms_config
+
+    sd = _rand_state_dict(rng)
+    variables = convert_atms_state_dict(sd)
+    x = rng.normal(size=(3, C, T)).astype(np.float32) * 0.5
+    sid = 4
+
+    cfg = reference_atms_config()
+    assert cfg.exact_gelu
+    model = build_encoder("atms", config=cfg)
+    feats, _ = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x),
+        jnp.full((3,), sid, jnp.int32),
+        deterministic=True,
+    )
+    want = _torch_atms_forward(sd, x, sid, ffn_gelu="none")
+    np.testing.assert_allclose(np.asarray(feats), want, atol=2e-4, rtol=2e-4)
+
+    # the two activation choices genuinely differ upstream of the projector —
+    # guard against the flag silently not reaching the FFN
+    tanh_want = _torch_atms_forward(sd, x, sid, ffn_gelu="tanh")
+    assert np.abs(tanh_want - want).max() > 0
