@@ -34,6 +34,7 @@ kernels and HBM, not the MXU; the value is reported for honesty, not bragging.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -77,7 +78,7 @@ def _device_synthetic_data():
     )
 
 
-def main():
+def headline():
     import jax
 
     # threefry dropout-mask generation costs ~25% of the step (measured,
@@ -158,5 +159,82 @@ def main():
     print(json.dumps(result))
 
 
+# extra regression-guard rows (VERDICT r3 #6): each runs in its own
+# subprocess via scripts/bench_all.py — leftover HBM allocations and queued
+# dispatches from one bench depress the next when run in-process (measured:
+# the eval row read 326k samples/s after training benches vs 6.2M standalone)
+EXTRA_ROWS = ("eval", "prior", "recon")
+ROW_TIMEOUT_S = 900
+
+
+def main():
+    """Driver entry: aggregate ALL benches into ONE JSON line.
+
+    The headline (contrastive training throughput) keeps the top-level
+    metric/value/unit/vs_baseline contract; the other framework paths —
+    eval-feature extraction, diffusion-prior training, end-to-end
+    reconstruction latency (B=1 and B=8) — ride along in ``rows`` so a
+    regression anywhere in the framework shows up in ``BENCH_r*.json``,
+    not only one trainer. The parent process never initialises JAX: every
+    bench (headline included) owns the TPU alone in a subprocess.
+    """
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def run_rows(cmd, timeout):
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=timeout,
+                cwd=here,
+            )
+        except subprocess.TimeoutExpired:
+            return [{"error": f"timeout after {timeout}s"}]
+        rows = []
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                try:
+                    rows.append(json.loads(line))
+                except json.JSONDecodeError:
+                    pass
+        if not rows:
+            rows = [{"error": proc.stderr.strip()[-400:]
+                     or f"exit {proc.returncode}, no output"}]
+        return rows
+
+    head = run_rows(
+        [sys.executable, os.path.join(here, "bench.py"), "headline"],
+        # the headline child waits patiently for the backend (6×120 s)
+        # on top of the measurement itself
+        timeout=1800,
+    )[0]
+    if "metric" not in head:  # headline failed — keep the line well-formed
+        head = {
+            "metric": "atms_contrastive_train_throughput",
+            "value": 0.0,
+            "unit": "samples/s",
+            "vs_baseline": 0.0,
+            **head,
+        }
+    rows = []
+    for name in EXTRA_ROWS:
+        for row in run_rows(
+            [sys.executable, os.path.join(here, "scripts", "bench_all.py"),
+             name],
+            timeout=ROW_TIMEOUT_S,
+        ):
+            if "error" in row:
+                row = {"metric": name, **row}
+            rows.append(row)
+    head["rows"] = rows
+    print(json.dumps(head))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "headline":
+        headline()
+    else:
+        main()
