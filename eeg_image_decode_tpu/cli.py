@@ -255,6 +255,7 @@ def _train_retrieval_one(args, subjects, *, sweep_subject=None, protocol=None):
     trainer = ContrastiveTrainer(
         model, cfg, train, test, mesh=mesh, output_dir=out, checkpointer=ckpt,
         streaming=getattr(args, "streaming", False),
+        shard_samples=getattr(args, "shard_data", False),
     )
     if args.resume_dir:
         start = trainer.resume()
@@ -1337,6 +1338,12 @@ def main(argv=None):
                    dest="host_dtype",
                    help="with --streaming: store/stream EEG host-side in "
                         "this dtype (halves per-batch transfer bytes)")
+    p.add_argument("--shard-data", action="store_true", dest="shard_data",
+                   help="keep the dataset DEVICE-resident but sharded over "
+                        "the dp mesh axis on the sample axis (N/dp per "
+                        "chip) — the TPU-native beyond-one-chip mode; "
+                        "prefer over --streaming when the mesh's aggregate "
+                        "HBM holds the data")
     _add_common(p)
     p.add_argument("--encoder", default="atms")
     p.add_argument("--subjects", default="sub-01",

@@ -79,7 +79,26 @@ def create_train_state(
 
 
 class DeviceData(struct.PyTreeNode):
-    """Device-resident training arrays (replicated under a mesh)."""
+    """Device-resident training arrays.
+
+    Two residency modes under a mesh:
+
+    - **replicated** (default): every device holds the full dataset. Right
+      whenever it fits (one subject ≈ 4.2 GB fp32) — batch gathers are pure
+      local memory traffic.
+    - **sample-sharded** (``shard_samples=True``): the per-sample arrays
+      (EEG, labels, subject ids, index maps) are sharded over the ``dp``
+      mesh axis on axis 0, so per-device memory is N/dp — the TPU-native
+      answer to beyond-one-chip datasets (all-10-subject joint training
+      ≈ 42 GB fp32 → ~5 GB/chip on a v5e-8) without falling back to
+      host streaming. Batches compose shard-locally: device d contributes
+      B/dp samples drawn from its own shard by LOCAL index
+      (``sharded_epoch_perm``), and the InfoNCE loss still sees the global
+      batch because it already gathers embeddings (``losses/clip_loss.py``).
+      The small CLIP feature tables stay replicated. Math is identical to
+      replicated mode for the same global rows (tested exactly —
+      ``tests/test_sharded_resident_data.py``).
+    """
 
     eeg: jax.Array  # (N, C, T)
     labels: jax.Array  # (N,)
@@ -90,9 +109,26 @@ class DeviceData(struct.PyTreeNode):
     text_idx: jax.Array  # (N,)
     class_img_feat: jax.Array  # (n_cls, D) probe features (img_feat[::10])
 
+    # sample-axis-sharded leaves (shard_samples mode): everything per-sample;
+    # the feature tables stay replicated
+    SAMPLE_FIELDS = ("eeg", "labels", "subject_ids", "img_idx", "text_idx")
+
     @staticmethod
-    def from_host(data: EEGRetrievalData, mesh=None) -> "DeviceData":
-        from eeg_image_decode_tpu.parallel.multihost import replicate_global
+    def from_host(
+        data: EEGRetrievalData,
+        mesh=None,
+        *,
+        shard_samples: bool = False,
+        data_axis: str = "dp",
+    ) -> "DeviceData":
+        from eeg_image_decode_tpu.parallel.multihost import (
+            process_local_slice,
+            replicate_global,
+            shard_global_batch,
+        )
+
+        if shard_samples and mesh is None:
+            raise ValueError("shard_samples=True requires a mesh")
 
         put = (
             # multi-host aware: device_put when single-process, global
@@ -101,16 +137,66 @@ class DeviceData(struct.PyTreeNode):
             if mesh is not None
             else jax.device_put
         )
-        return DeviceData(
-            eeg=put(data.eeg),
-            labels=put(data.labels),
-            subject_ids=put(data.subject_ids),
-            img_feat=put(data.img_features),
-            text_feat=put(data.text_features),
-            img_idx=put(data.img_idx),
-            text_idx=put(data.text_idx),
-            class_img_feat=put(data.class_img_features()),
+        fields = dict(
+            eeg=data.eeg,
+            labels=data.labels,
+            subject_ids=data.subject_ids,
+            img_feat=data.img_features,
+            text_feat=data.text_features,
+            img_idx=data.img_idx,
+            text_idx=data.text_idx,
+            class_img_feat=data.class_img_features(),
         )
+        if not shard_samples:
+            return DeviceData(**{k: put(v) for k, v in fields.items()})
+
+        dp = mesh.shape.get(data_axis, 1)
+        n = int(data.eeg.shape[0])
+        if n % dp != 0:
+            raise ValueError(
+                f"shard_samples needs n ({n}) divisible by the "
+                f"data-parallel axis ({data_axis}={dp}); drop "
+                f"{n % dp} samples or change the mesh"
+            )
+        sl = process_local_slice(n, mesh, data_axis)
+        sample_tree = {
+            k: np.asarray(fields[k])[sl] for k in DeviceData.SAMPLE_FIELDS
+        }
+        sharded = shard_global_batch(
+            mesh, sample_tree, global_rows=n, data_axis=data_axis
+        )
+        out = {k: put(v) for k, v in fields.items()
+               if k not in DeviceData.SAMPLE_FIELDS}
+        out.update(sharded)
+        return DeviceData(**out)
+
+
+def sharded_epoch_perm(
+    n: int, batch: int, dp: int, seed: int, epoch: int
+) -> np.ndarray:
+    """Shard-LOCAL batch permutation for ``shard_samples`` mode.
+
+    Returns (n_steps, batch) int32 where column block d (width batch/dp)
+    holds indices into device d's local shard [0, n/dp) — laid out so the
+    ``P(None, dp)`` perm sharding lands each block on the device that owns
+    those rows. Each device draws an independent permutation of its own
+    shard per epoch, so every sample is visited once per epoch (same
+    coverage as the replicated path's global permutation, stratified by
+    shard instead of fully mixed)."""
+    if n % dp or batch % dp:
+        raise ValueError(
+            f"n={n} and batch={batch} must both divide dp={dp}"
+        )
+    n_local, b_local = n // dp, batch // dp
+    n_steps = n // batch
+    cols = []
+    for d in range(dp):
+        rng = np.random.default_rng(seed * 100003 + epoch * 1009 + d)
+        cols.append(
+            rng.permutation(n_local)[: n_steps * b_local]
+            .reshape(n_steps, b_local)
+        )
+    return np.concatenate(cols, axis=1).astype(np.int32)
 
 
 def make_epoch_fn(
@@ -119,9 +205,17 @@ def make_epoch_fn(
     cfg: ContrastiveTrainConfig,
     *,
     mesh=None,
+    shard_samples: bool = False,
 ) -> Callable:
     """Build the jitted one-epoch function:
     (state, data, perm (n_steps, B), key) → (state, metrics dict).
+
+    ``shard_samples=True`` (requires ``mesh``): the per-sample DeviceData
+    leaves are sharded over ``cfg.data_axis`` and ``perm`` holds shard-LOCAL
+    indices (``sharded_epoch_perm``); each device gathers its B/dp batch
+    rows from its own shard via ``shard_map`` — no cross-device data motion
+    for the gather, the embedding all-gather inside the loss is the only
+    collective (plus the grad psum).
     """
 
     def loss_fn(params, batch_stats, batch, dropout_key):
@@ -145,18 +239,36 @@ def make_epoch_fn(
             )
         return loss, (updates["batch_stats"], feats, scale)
 
+    if shard_samples:
+        if mesh is None:
+            raise ValueError("shard_samples=True requires a mesh")
+        from jax.sharding import PartitionSpec as P
+
+        def take_rows(arr, idx):
+            # per-device local gather: arr sharded (N/dp rows/device), idx
+            # holds LOCAL indices for that device's B/dp batch columns
+            return jax.shard_map(
+                lambda a, i: jnp.take(a, i, axis=0),
+                mesh=mesh,
+                in_specs=(P(cfg.data_axis), P(cfg.data_axis)),
+                out_specs=P(cfg.data_axis),
+            )(arr, idx)
+    else:
+        def take_rows(arr, idx):
+            return jnp.take(arr, idx, axis=0)
+
     def train_step(carry, idx, data: DeviceData, base_key):
         state: TrainState = carry
         batch = {
-            "eeg": jnp.take(data.eeg, idx, axis=0),
-            "subject_ids": jnp.take(data.subject_ids, idx, axis=0),
+            "eeg": take_rows(data.eeg, idx),
+            "subject_ids": take_rows(data.subject_ids, idx),
             "img_feat": jnp.take(
-                data.img_feat, jnp.take(data.img_idx, idx), axis=0
+                data.img_feat, take_rows(data.img_idx, idx), axis=0
             ),
             "text_feat": jnp.take(
-                data.text_feat, jnp.take(data.text_idx, idx), axis=0
+                data.text_feat, take_rows(data.text_idx, idx), axis=0
             ),
-            "labels": jnp.take(data.labels, idx, axis=0),
+            "labels": take_rows(data.labels, idx),
         }
         dropout_key = jax.random.fold_in(base_key, state.step)
         (loss, (new_bs, feats, scale)), grads = jax.value_and_grad(
@@ -187,11 +299,38 @@ def make_epoch_fn(
         return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
     if mesh is None:
+        if shard_samples:
+            raise ValueError("shard_samples=True requires a mesh")
         return jax.jit(epoch_fn, donate_argnums=(0,))
-    # batch permutation sharded over dp → each device gathers its batch shard
     from eeg_image_decode_tpu.core.mesh import dp_epoch_jit, validate_dp_batch
 
     validate_dp_batch(mesh, cfg.batch_size, cfg.data_axis)
+    if shard_samples:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from eeg_image_decode_tpu.core.mesh import replicated_sharding
+
+        repl = replicated_sharding(mesh)
+        samp = NamedSharding(mesh, P(cfg.data_axis))
+        data_shardings = DeviceData(
+            **{f: (samp if f in DeviceData.SAMPLE_FIELDS else repl)
+               for f in ("eeg", "labels", "subject_ids", "img_feat",
+                         "text_feat", "img_idx", "text_idx",
+                         "class_img_feat")}
+        )
+        return jax.jit(
+            epoch_fn,
+            donate_argnums=(0,),
+            in_shardings=(
+                repl,
+                data_shardings,
+                NamedSharding(mesh, P(None, cfg.data_axis)),
+                repl,
+            ),
+            out_shardings=(repl, repl),
+        )
+    # batch permutation sharded over dp → each device gathers its batch shard
     return dp_epoch_jit(
         epoch_fn, mesh, n_args=4, perm_index=2, data_axis=cfg.data_axis
     )
@@ -310,13 +449,21 @@ class ContrastiveTrainer:
         output_dir: str | None = None,
         checkpointer=None,
         streaming: bool = False,
+        shard_samples: bool = False,
     ):
         """``streaming=True`` keeps the EEG tensor on the HOST and streams
         batches through the native-gather ``PrefetchLoader`` — for datasets
         beyond one chip's HBM (all-10-subject joint training ≈ 42 GB fp32;
         the reference's DataLoader-workers case). Batch permutations, RNG
         keys, and math are identical to the HBM-resident path, so the two
-        modes produce the same training trajectory (tested)."""
+        modes produce the same training trajectory (tested).
+
+        ``shard_samples=True`` (requires ``mesh``) keeps the dataset
+        DEVICE-resident but sharded over the dp axis on the sample axis —
+        per-device memory N/dp, batches composed shard-locally
+        (:class:`DeviceData`). The TPU-native beyond-one-chip mode; prefer
+        it over ``streaming`` whenever the dataset fits the mesh's
+        aggregate HBM."""
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
@@ -324,6 +471,12 @@ class ContrastiveTrainer:
         self.checkpointer = checkpointer
         self.train_host = train_data
         self.streaming = streaming
+        self.shard_samples = shard_samples
+        if streaming and shard_samples:
+            raise ValueError(
+                "streaming and shard_samples are mutually exclusive "
+                "residency modes (host-streamed vs device-sharded)"
+            )
         if streaming:
             from eeg_image_decode_tpu.core.mesh import batch_sharding
             from eeg_image_decode_tpu.data.loader import PrefetchLoader
@@ -366,7 +519,10 @@ class ContrastiveTrainer:
             )
             self.data = None
         else:
-            self.data = DeviceData.from_host(train_data, mesh)
+            self.data = DeviceData.from_host(
+                train_data, mesh, shard_samples=shard_samples,
+                data_axis=cfg.data_axis,
+            )
         self.test_eeg = jax.device_put(test_data.eeg)
         self.test_subject_ids = jax.device_put(test_data.subject_ids)
         self.test_labels = jax.device_put(test_data.labels)
@@ -380,7 +536,9 @@ class ContrastiveTrainer:
         if streaming:
             self.step_fn = make_step_fn(model, self.tx, cfg, mesh=mesh)
         else:
-            self.epoch_fn = make_epoch_fn(model, self.tx, cfg, mesh=mesh)
+            self.epoch_fn = make_epoch_fn(
+                model, self.tx, cfg, mesh=mesh, shard_samples=shard_samples
+            )
         self.eval_fn = make_eval_features_fn(model)
         self.history: list[dict] = []
         self.start_epoch = 0
@@ -421,6 +579,9 @@ class ContrastiveTrainer:
     def _epoch_perm(self, epoch: int) -> np.ndarray:
         n = self.train_host.n
         bs = self.cfg.batch_size
+        if self.shard_samples:
+            dp = self.mesh.shape.get(self.cfg.data_axis, 1)
+            return sharded_epoch_perm(n, bs, dp, self.cfg.seed, epoch)
         n_steps = n // bs
         rng = np.random.default_rng(self.cfg.seed * 100003 + epoch)
         perm = rng.permutation(n)[: n_steps * bs].reshape(n_steps, bs)

@@ -1,0 +1,385 @@
+"""Multi-epoch torch↔JAX training-TRAJECTORY parity rehearsal.
+
+The closest this environment can get to the "bit-comparable retrieval
+accuracy" north star without real THINGS-EEG data: start both frameworks
+from the SAME converted init on the SAME learnable synthetic dataset (class-
+template EEG, class-consistent CLIP-like targets — the README convergence
+set), run both trainers for many epochs with identical batch orders, and
+compare
+
+1. the per-epoch loss curves (deterministic mode, dropout 0 on both sides —
+   the PRNGs are incompatible by construction, so stochastic runs cannot be
+   pinned pointwise),
+2. the FINAL k-way accuracy tables under SHARED distractor sets: both
+   encoders' test features are scored by the one seeded evaluator
+   (``train/evaluator.py``), so any decision-relevant divergence shows as a
+   table mismatch,
+3. (``--stochastic N``) dropout ON: N seeds per framework at the reference's
+   rates (0.25 attention / 0.5 conv+proj) — the JAX final-accuracy
+   distribution must bracket the torch one (statistical equivalence where
+   pointwise equality is impossible),
+4. the tanh-vs-exact-erf FFN gelu END-TASK delta on the trained JAX
+   checkpoint (quantifying the documented activation deviation,
+   ``ATMSConfig.exact_gelu``).
+
+Reference semantics being rehearsed: ``Retrieval/ATMS_retrieval.py``
+:199-254 (train loop), :296-357 (k-way eval), :364-512 (main loop) — AdamW
+3e-4 / wd 0.01, loss 0.99·img_clip + 0.01·text_clip with the raw trainable
+logit scale.
+
+Output: a markdown table on stdout (commit the interesting runs to
+docs/PARITY.md) + hard assertions. The torch side is the slow one (single
+CPU core here); the default configuration finishes in ~10 min. The pytest
+variant (``tests/test_trajectory_parity.py``) runs a shortened
+configuration of the same code.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_data(n_classes, ipc, reps, seed):
+    from eeg_image_decode_tpu.data.synthetic import (
+        make_synthetic_retrieval_data,
+    )
+
+    return make_synthetic_retrieval_data(
+        n_classes=n_classes, images_per_class=ipc, train_reps=reps, seed=seed
+    )
+
+
+def epoch_perms(n, batch, epochs, seed):
+    """Shared batch order: the trainer's exact (seed, epoch) formula
+    (``train/contrastive.py::ContrastiveTrainer._epoch_perm``)."""
+    out = []
+    n_steps = n // batch
+    for epoch in range(epochs):
+        rng = np.random.default_rng(seed * 100003 + epoch)
+        out.append(
+            rng.permutation(n)[: n_steps * batch]
+            .reshape(n_steps, batch).astype(np.int32)
+        )
+    return out
+
+
+def run_jax(sd, train, test, perms, batch, lr, wd, *, dropout=False,
+            seed=0, exact_gelu=False):
+    """Train the flax side from the converted init; return
+    (per-epoch losses, final k-way table, trained state, model)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.core.config import (
+        ATMSConfig,
+        ContrastiveTrainConfig,
+    )
+    from eeg_image_decode_tpu.models import build_encoder
+    from eeg_image_decode_tpu.train.contrastive import (
+        DeviceData,
+        create_train_state,
+        make_epoch_fn,
+        make_eval_features_fn,
+    )
+    from eeg_image_decode_tpu.train.evaluator import retrieval_eval
+    from eeg_image_decode_tpu.utils.convert import convert_atms_state_dict
+
+    mcfg = ATMSConfig(
+        exact_gelu=exact_gelu,
+        **({} if dropout else dict(
+            dropout=0.0, conv_dropout=0.0, proj_dropout=0.0))
+    )
+    model = build_encoder("atms", config=mcfg)
+    tcfg = ContrastiveTrainConfig(
+        batch_size=batch, lr=lr, weight_decay=wd, alpha=0.99
+    )
+    variables = convert_atms_state_dict(sd)
+    state, tx = create_train_state(
+        model, tcfg, jnp.asarray(train.eeg[:2]),
+        jnp.asarray(train.subject_ids[:2]),
+    )
+    state = state.replace(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+    )
+    data = DeviceData(
+        eeg=jnp.asarray(train.eeg),
+        labels=jnp.asarray(train.labels),
+        subject_ids=jnp.asarray(train.subject_ids),
+        img_feat=jnp.asarray(train.img_features),
+        text_feat=jnp.asarray(train.text_features),
+        img_idx=jnp.asarray(train.img_idx),
+        text_idx=jnp.asarray(train.text_idx),
+        class_img_feat=jnp.asarray(train.class_img_features()),
+    )
+    epoch_fn = make_epoch_fn(model, tx, tcfg)
+    losses = []
+    for epoch, perm in enumerate(perms):
+        state, metrics = epoch_fn(
+            state, data, jnp.asarray(perm),
+            jax.random.key(seed + 7919 * epoch),
+        )
+        losses.append(float(metrics["loss"]))
+
+    eval_fn = make_eval_features_fn(model)
+    feats, scale = eval_fn(
+        state.params, state.batch_stats,
+        jnp.asarray(test.eeg), jnp.asarray(test.subject_ids),
+    )
+    table = retrieval_eval(
+        feats, jnp.asarray(test.class_img_features()),
+        jnp.asarray(test.labels), scale,
+        ks=(2, 4, 10, 50, 100), key=jax.random.key(1234),
+    )
+    table = {k: float(v) for k, v in table.items()}
+    return losses, table, state, model, np.asarray(feats)
+
+
+def run_torch(sd, train, test, perms, batch, lr, wd, *, dropout=False,
+              seed=0):
+    """Independent torch trainer written from the reference spec (same
+    formula as ``tests/test_train_torch_parity.py``), full-run version."""
+    import torch
+
+    from tests.test_atms_torch_parity import _torch_atms_forward
+
+    torch.manual_seed(seed)
+
+    def clip(feats, targets, scale):
+        logits = scale * feats @ targets.T
+        labels = torch.arange(feats.shape[0])
+        return 0.5 * (
+            torch.nn.functional.cross_entropy(logits, labels)
+            + torch.nn.functional.cross_entropy(logits.T, labels)
+        )
+
+    is_stat = lambda k: "running_" in k or "num_batches" in k
+    t = {
+        k: torch.tensor(np.asarray(v), requires_grad=not is_stat(k))
+        for k, v in sd.items()
+    }
+    opt = torch.optim.AdamW(
+        [v for k, v in t.items() if not is_stat(k)], lr=lr, weight_decay=wd
+    )
+    eeg = torch.tensor(np.asarray(train.eeg, np.float32))
+    img = torch.tensor(np.asarray(train.img_features, np.float32))
+    text = torch.tensor(np.asarray(train.text_features, np.float32))
+    img_idx = np.asarray(train.img_idx)
+    text_idx = np.asarray(train.text_idx)
+    sid = int(train.subject_ids[0])
+
+    # the reference's dropout sites at its rates, as torch masks drawn by
+    # torch's own PRNG (stochastic mode only)
+    def draw_masks(B):
+        if not dropout:
+            return None
+        P, F_CH, L, H, FF, T, D = 36, 40, 64, 4, 256, 250, 1024
+        keep = lambda shape, p: (
+            (torch.rand(shape) >= p).float() / (1.0 - p)
+        )
+        return {
+            "emb": keep((B, L, T), 0.25),
+            "m_attn": keep((B, H, L, L), 0.25),
+            "m_res": keep((B, L, T), 0.25),
+            "m_ffn1": keep((B, L, FF), 0.25),
+            "m_ffn2": keep((B, L, T), 0.25),
+            "tsconv": keep((B, 1, P, F_CH), 0.5),
+            "proj": keep((B, D), 0.5),
+        }
+
+    losses = []
+    for perm in perms:
+        ep = []
+        for idx in perm:
+            feats = _torch_atms_forward(
+                t, eeg[idx], sid, training=True,
+                masks=draw_masks(len(idx)),
+            )
+            loss = 0.99 * clip(feats, img[img_idx[idx]], t["logit_scale"]) \
+                + 0.01 * clip(feats, text[text_idx[idx]], t["logit_scale"])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            ep.append(float(loss.detach()))
+        losses.append(float(np.mean(ep)))
+
+    with torch.no_grad():
+        feats = _torch_atms_forward(
+            t, torch.tensor(np.asarray(test.eeg, np.float32)), sid,
+            training=False,
+        )
+    return losses, feats.detach().numpy(), float(t["logit_scale"].detach())
+
+
+def eval_table_for(feats_np, test, scale):
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.train.evaluator import retrieval_eval
+
+    table = retrieval_eval(
+        jnp.asarray(feats_np), jnp.asarray(test.class_img_features()),
+        jnp.asarray(test.labels), scale,
+        ks=(2, 4, 10, 50, 100), key=jax.random.key(1234),
+    )
+    return {k: float(v) for k, v in table.items()}
+
+
+def trajectory_parity(n_classes=100, ipc=1, reps=4, epochs=30, batch=64,
+                      lr=3e-4, wd=1e-2, seed=0, log=print):
+    """Returns dict with curves + tables; asserts parity. Shared by the
+    script and ``tests/test_trajectory_parity.py``."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tests.test_convert import _rand_state_dict
+
+    rng = np.random.default_rng(seed)
+    sd = _rand_state_dict(rng)
+    train, test = build_data(n_classes, ipc, reps, seed)
+    perms = epoch_perms(train.n, batch, epochs, seed)
+
+    t0 = time.perf_counter()
+    j_losses, j_table, state, model, j_feats = run_jax(
+        sd, train, test, perms, batch, lr, wd
+    )
+    t_jax = time.perf_counter() - t0
+    log(f"jax side: {epochs} epochs in {t_jax:.1f}s, final loss "
+        f"{j_losses[-1]:.4f}")
+
+    t0 = time.perf_counter()
+    t_losses, t_feats, t_scale = run_torch(
+        sd, train, test, perms, batch, lr, wd
+    )
+    t_torch = time.perf_counter() - t0
+    log(f"torch side: {epochs} epochs in {t_torch:.1f}s, final loss "
+        f"{t_losses[-1]:.4f}")
+
+    t_table = eval_table_for(t_feats, test, t_scale)
+
+    # per-epoch losses track: fp drift accumulates through BN stats +
+    # optimizer state, so the band widens with epoch index
+    rel = [abs(a - b) / max(abs(b), 1e-6)
+           for a, b in zip(j_losses, t_losses)]
+    return {
+        "jax_losses": j_losses, "torch_losses": t_losses,
+        "jax_table": j_table, "torch_table": t_table,
+        "rel_loss_dev": rel,
+        "jax_feats": j_feats, "torch_feats": t_feats,
+        "state": state, "model": model, "test": test,
+        "jax_time_s": t_jax, "torch_time_s": t_torch, "sd": sd,
+        "train": train, "perms": perms,
+        "batch": batch, "lr": lr, "wd": wd, "seed": seed,
+    }
+
+
+def exact_gelu_delta(res, log=print):
+    """tanh vs exact-erf FFN gelu end-task delta on the trained checkpoint."""
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.core.config import ATMSConfig
+    from eeg_image_decode_tpu.models import build_encoder
+    from eeg_image_decode_tpu.train.contrastive import make_eval_features_fn
+
+    test, state = res["test"], res["state"]
+    m2 = build_encoder("atms", config=ATMSConfig(
+        dropout=0.0, conv_dropout=0.0, proj_dropout=0.0, exact_gelu=True))
+    feats2, scale2 = make_eval_features_fn(m2)(
+        state.params, state.batch_stats,
+        jnp.asarray(test.eeg), jnp.asarray(test.subject_ids),
+    )
+    table2 = eval_table_for(np.asarray(feats2), test, scale2)
+    return table2
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--classes", type=int, default=100)
+    ap.add_argument("--ipc", type=int, default=1)
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--stochastic", type=int, default=0, metavar="N",
+                    help="additionally run N dropout-ON seeds per framework "
+                         "and compare final-accuracy distributions")
+    args = ap.parse_args()
+
+    res = trajectory_parity(
+        n_classes=args.classes, ipc=args.ipc, reps=args.reps,
+        epochs=args.epochs, batch=args.batch, seed=args.seed,
+    )
+
+    print("\n### Training-trajectory parity "
+          f"({args.classes} classes × {args.ipc} × {args.reps} reps, "
+          f"bs {args.batch}, {args.epochs} epochs, dropout off)\n")
+    print("| epoch | jax loss | torch loss | rel dev |")
+    print("|---|---|---|---|")
+    idxs = sorted(set(
+        [0, 1, 2] + list(range(4, args.epochs, 5)) + [args.epochs - 1]
+    ))
+    for e in idxs:
+        if e < len(res["jax_losses"]):
+            print(f"| {e} | {res['jax_losses'][e]:.4f} | "
+                  f"{res['torch_losses'][e]:.4f} | "
+                  f"{res['rel_loss_dev'][e]:.4f} |")
+    print(f"\nmax relative loss deviation: {max(res['rel_loss_dev']):.4f}")
+
+    print("\n| k-way | jax top-1 | torch top-1 | equal |")
+    print("|---|---|---|---|")
+    for k in sorted(res["jax_table"]):
+        a, b = res["jax_table"][k], res["torch_table"][k]
+        print(f"| {k} | {a:.4f} | {b:.4f} | {'✓' if a == b else '✗'} |")
+
+    t2 = exact_gelu_delta(res)
+    print("\n| k-way | tanh gelu | exact-erf gelu | Δ |")
+    print("|---|---|---|---|")
+    for k in sorted(res["jax_table"]):
+        a, b = res["jax_table"][k], t2[k]
+        print(f"| {k} | {a:.4f} | {b:.4f} | {b - a:+.4f} |")
+
+    mismatches = [k for k in res["jax_table"]
+                  if res["jax_table"][k] != res["torch_table"][k]]
+    assert max(res["rel_loss_dev"]) < 0.05, res["rel_loss_dev"]
+    assert not mismatches, f"k-way table mismatch at {mismatches}"
+    print("\ntrajectory parity PASS")
+
+    if args.stochastic:
+        n = args.stochastic
+        print(f"\n### Stochastic equivalence ({n} seeds/framework, "
+              "dropout ON at the reference rates)\n")
+        j_acc, t_acc = [], []
+        for s in range(n):
+            jl, jt, *_ = run_jax(
+                res["sd"], res["train"], res["test"], res["perms"],
+                args.batch, res["lr"], res["wd"], dropout=True, seed=s,
+            )
+            # hardest k available = the most discriminative accuracy
+            key = "top1_k" + str(max(
+                int(k.split("top1_k")[1]) for k in jt if "top1_k" in k
+            ))
+            j_acc.append(jt[key])
+            tl, tf, tsc = run_torch(
+                res["sd"], res["train"], res["test"], res["perms"],
+                args.batch, res["lr"], res["wd"], dropout=True, seed=s,
+            )
+            t_acc.append(eval_table_for(tf, res["test"], tsc)[key])
+            print(f"seed {s}: jax {key}={j_acc[-1]:.4f} "
+                  f"torch {key}={t_acc[-1]:.4f}")
+        print(f"jax  mean±sd: {np.mean(j_acc):.4f}±{np.std(j_acc):.4f}")
+        print(f"torch mean±sd: {np.mean(t_acc):.4f}±{np.std(t_acc):.4f}")
+        lo = min(t_acc) - 2 * (np.std(t_acc) + 1e-3)
+        hi = max(t_acc) + 2 * (np.std(t_acc) + 1e-3)
+        assert lo <= np.mean(j_acc) <= hi, (np.mean(j_acc), lo, hi)
+        print("stochastic equivalence PASS")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,40 @@
+"""Multi-epoch training-trajectory parity (shortened CI configuration).
+
+Runs the same shared-init / shared-batch-order / shared-distractor-set
+comparison as ``scripts/parity_trajectory.py`` (the full rehearsal whose
+table is committed to docs/PARITY.md), sized for the test suite: the flax
+trainer and an independent from-the-spec torch trainer must produce loss
+curves that track epoch-by-epoch AND the identical final k-way accuracy
+table when both feature sets are scored by the one seeded evaluator.
+
+Extends ``test_train_torch_parity.py`` (3 steps) to full-run semantics:
+optimizer-state evolution, BatchNorm running-stat drift, logit-scale
+training, and eval-mode behavior after many updates are all in scope.
+Ref: ``Retrieval/ATMS_retrieval.py:199-254,296-357,364-512``.
+"""
+
+import os
+import sys
+
+import pytest
+
+pytest.importorskip("torch")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.parity_trajectory import trajectory_parity  # noqa: E402
+
+
+def test_multi_epoch_trajectory_and_kway_table_parity():
+    res = trajectory_parity(
+        n_classes=40, ipc=1, reps=2, epochs=8, batch=16, seed=3,
+        log=lambda *a: None,
+    )
+    # loss curves track within accumulated-fp-drift tolerance
+    assert max(res["rel_loss_dev"]) < 0.02, res["rel_loss_dev"]
+    # the learnable set actually trains (not parity-of-garbage)
+    assert res["jax_losses"][-1] < 0.5 * res["jax_losses"][0]
+    # identical k-way table under shared distractor sets
+    assert res["jax_table"] == res["torch_table"], (
+        res["jax_table"], res["torch_table"],
+    )
