@@ -819,6 +819,18 @@ def cmd_generate(args):
     )
 
     gcfg = GeneratorConfig.tiny() if args.tiny else GeneratorConfig()
+    if args.tiny and gcfg.unet.ip_image_embed_dim != pipe.cfg.embed_dim:
+        # tiny smoke mode must accept whatever embedding width the prior
+        # emits (e.g. a full-size 1024-d prior driven through a tiny
+        # generator in the acceptance dry-run)
+        from dataclasses import replace as _replace
+
+        gcfg = _replace(
+            gcfg,
+            unet=_replace(
+                gcfg.unet, ip_image_embed_dim=int(pipe.cfg.embed_dim)
+            ),
+        )
     gen = Generator4Embeds(gcfg)
     if args.generator_params:
         with open(args.generator_params, "rb") as f:

@@ -89,8 +89,127 @@ def main(mode: str) -> None:
     }), flush=True)
 
 
+def load_bench() -> None:
+    """Concurrent-clients load test through the real HTTP daemon.
+
+    Measures the device-lock serialization claim (serve.py: one device, all
+    requests serialized at the lock): C in-flight clients hammer
+    ``POST /v1/retrieve`` (full-size ATM-S encoder + a 16540-image HBM
+    gallery — the reference-scale retrieval workload) with .npz bodies of 8
+    EEG epochs each; reports per-request p50/p99 latency and aggregate
+    throughput at C ∈ {1, 2, 8, 32}. Expected shape of the result: p50
+    grows ~linearly with C (lock serialization) while aggregate throughput
+    stays ~flat at the single-request service rate — if throughput *drops*
+    with C, the lock is amplifying overhead and that is a bug.
+    """
+    import io
+    import threading
+    import urllib.request
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    from eeg_image_decode_tpu.utils.backend import wait_for_backend
+
+    wait_for_backend()
+
+    from eeg_image_decode_tpu.core.config import (
+        ATMSConfig,
+        ContrastiveTrainConfig,
+    )
+    from eeg_image_decode_tpu.models import build_encoder
+    from eeg_image_decode_tpu.serve import RetrievalService
+    from eeg_image_decode_tpu.server import EEGDecodeServer
+    from eeg_image_decode_tpu.train.contrastive import create_train_state
+
+    rng = np.random.default_rng(0)
+    req_b = 8
+    eeg = rng.normal(size=(req_b, 63, 250)).astype(np.float32)
+    sids = np.ones((req_b,), np.int32)
+
+    model = build_encoder("atms", config=ATMSConfig(), dtype=jnp.bfloat16)
+    state, _ = create_train_state(
+        model, ContrastiveTrainConfig(), jnp.asarray(eeg[:2]),
+        jnp.asarray(sids[:2]),
+    )
+    gallery = rng.normal(size=(16540, 1024)).astype(np.float32)
+    gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
+    svc = RetrievalService(
+        model, {"params": state.params, "batch_stats": state.batch_stats},
+        gallery, max_batch=req_b,
+    )
+    server = EEGDecodeServer(retrieval=svc)
+    port = server.start()
+    url = f"http://127.0.0.1:{port}/v1/retrieve"
+
+    buf = io.BytesIO()
+    np.savez(buf, eeg=eeg, subject_ids=sids, k=np.int32(5))
+    body = buf.getvalue()
+
+    def one_request():
+        t0 = time.perf_counter()
+        req = urllib.request.Request(
+            url, data=body,
+            headers={"Content-Type": "application/octet-stream"}
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            r.read()
+        return time.perf_counter() - t0
+
+    for _ in range(3):
+        one_request()  # compile + warm the HTTP path
+
+    try:
+        for clients in (1, 2, 8, 32):
+            n_total = max(64, clients * 8)
+            lat: list[float] = []
+            lock = threading.Lock()
+            counter = iter(range(n_total))
+
+            def worker():
+                while True:
+                    with lock:
+                        if next(counter, None) is None:
+                            return
+                    dt = one_request()
+                    with lock:
+                        lat.append(dt)
+
+            t0 = time.perf_counter()
+            threads = [
+                threading.Thread(target=worker) for _ in range(clients)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            lat_ms = np.sort(np.asarray(lat)) * 1e3
+            print(json.dumps({
+                "metric": "serve_retrieval_load",
+                "value": round(float(np.percentile(lat_ms, 50)), 1),
+                "unit": "ms_p50_per_request",
+                "config": {
+                    "in_flight_clients": clients,
+                    "request_batch": req_b,
+                    "gallery": 16540,
+                    "p99_ms": round(float(np.percentile(lat_ms, 99)), 1),
+                    "throughput_req_s": round(n_total / wall, 1),
+                    "n_requests": n_total,
+                },
+            }), flush=True)
+    finally:
+        server.stop()
+
+
 if __name__ == "__main__":
     modes = sys.argv[1:] or ["staged", "fused"]
+    if modes == ["load"]:
+        load_bench()
+        sys.exit(0)
     if len(modes) > 1:
         # subprocess-isolate the rows (leftover HBM/dispatch state skews
         # same-process measurements — docs/PERF.md)

@@ -10,7 +10,9 @@ This is the tool that found the round-2 win: the tsconv backward's fp32
 casts + layout copies at ~45% of the step (fixed by the dense-matmul
 formulation, ``ops/tsconv.py::tsconv_pool_matmul``).
 
-Run: python scripts/profile_step.py [top_n]
+Run: python scripts/profile_step.py [top_n] [--batch N] [--joint]
+(``--batch 16 --joint`` profiles the reference's joint-subjects
+configuration, ``ATMS_retrieval_joint_train.py:519``)
 """
 
 from __future__ import annotations
@@ -26,7 +28,8 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(trace_dir: str) -> float:
+def capture(trace_dir: str, batch: int | None = None,
+            joint: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -49,9 +52,18 @@ def capture(trace_dir: str) -> float:
 
     data = B._device_synthetic_data()
     n = int(data.eeg.shape[0])
-    bs = B.BATCH
-    n_steps = n // bs
-    model = build_encoder("atms", config=ATMSConfig(), dtype=jnp.bfloat16)
+    bs = batch or B.BATCH
+    # cap the traced scan: small batches mean thousands of steps/epoch and
+    # an unmanageable xplane; 256 steps is plenty for attribution
+    n_steps = min(n // bs, 256)
+    if joint:
+        # profiling only: mixed-subject ids exercise the per-subject gather
+        data = data.replace(
+            subject_ids=(jnp.arange(n, dtype=jnp.int32) % 10)
+        )
+    model = build_encoder(
+        "atms", config=ATMSConfig(joint_train=joint), dtype=jnp.bfloat16
+    )
     cfg = ContrastiveTrainConfig(batch_size=bs)
     state, tx = create_train_state(model, cfg, data.eeg[:2],
                                    data.subject_ids[:2])
@@ -105,10 +117,17 @@ def report(trace_dir: str, top_n: int = 20) -> None:
 
 
 def main():
-    top_n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    argv = [a for a in sys.argv[1:]]
+    joint = "--joint" in argv
+    batch = None
+    if "--batch" in argv:
+        batch = int(argv[argv.index("--batch") + 1])
+        del argv[argv.index("--batch"):argv.index("--batch") + 2]
+    argv = [a for a in argv if a != "--joint"]
+    top_n = int(argv[0]) if argv else 20
     trace_dir = tempfile.mkdtemp(prefix="eeg_tpu_prof_")
     try:
-        wall = capture(trace_dir)
+        wall = capture(trace_dir, batch=batch, joint=joint)
         print(f"epoch wall time: {wall:.3f}s")
         report(trace_dir, top_n)
     finally:
