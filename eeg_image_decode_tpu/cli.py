@@ -311,7 +311,14 @@ def cmd_evaluate(args):
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.encoder == "atms":
         model = build_encoder(
-            "atms", config=ATMSConfig(joint_train=args.joint), dtype=dtype
+            "atms",
+            config=ATMSConfig(
+                joint_train=args.joint,
+                # reference checkpoints use exact-erf FFN gelu
+                # (Transformer_EncDec.py:33-41) — score them exactly
+                exact_gelu=getattr(args, "exact_gelu", False),
+            ),
+            dtype=dtype,
         )
     else:
         model = build_encoder(args.encoder, dtype=dtype)
@@ -1410,6 +1417,11 @@ def main(argv=None):
     p.add_argument("--no-average", action="store_true",
                    help="score per-repetition instead of averaging the "
                         "test repetitions")
+    p.add_argument("--exact-gelu", action="store_true", dest="exact_gelu",
+                   help="exact-erf FFN gelu (the reference's activation) — "
+                        "for checkpoints CONVERTED from the reference; "
+                        "measured end-task delta vs the tanh default is "
+                        "zero (docs/PARITY.md) but this makes it exact")
     p.add_argument("--csv", default=None, help="also write the row as CSV")
     p.set_defaults(fn=cmd_evaluate)
 

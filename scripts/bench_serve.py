@@ -141,6 +141,11 @@ def load_bench() -> None:
         model, {"params": state.params, "batch_stats": state.batch_stats},
         gallery, max_batch=req_b,
     )
+    # compile BEFORE the HTTP phase: the first full-size compile through
+    # this machine's remote compile helper takes 40-600 s (docs/PERF.md)
+    # and would blow any sane client timeout
+    svc.top_k(eeg, sids, k=5)
+
     server = EEGDecodeServer(retrieval=svc)
     port = server.start()
     url = f"http://127.0.0.1:{port}/v1/retrieve"
