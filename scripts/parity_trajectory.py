@@ -401,10 +401,18 @@ def main():
                   f"torch {key}={t_acc[-1]:.4f}")
         print(f"jax  mean±sd: {np.mean(j_acc):.4f}±{np.std(j_acc):.4f}")
         print(f"torch mean±sd: {np.mean(t_acc):.4f}±{np.std(t_acc):.4f}")
-        lo = min(t_acc) - 2 * (np.std(t_acc) + 1e-3)
-        hi = max(t_acc) + 2 * (np.std(t_acc) + 1e-3)
+        # the band must include BINOMIAL sampling noise: with n_test
+        # samples, a single accuracy has se=sqrt(p(1-p)/n) — at small n and
+        # near-chance p this dwarfs the seed-to-seed spread (which can
+        # quantize to zero over a few seeds)
+        n_t = res["n_test"]
+        p = max(float(np.mean(t_acc + j_acc)), 1.0 / n_t)
+        se = float(np.sqrt(p * (1.0 - p) / n_t))
+        lo = min(t_acc) - 2 * (np.std(t_acc) + se)
+        hi = max(t_acc) + 2 * (np.std(t_acc) + se)
         assert lo <= np.mean(j_acc) <= hi, (np.mean(j_acc), lo, hi)
-        print("stochastic equivalence PASS")
+        print(f"stochastic equivalence PASS "
+              f"(band [{lo:.4f}, {hi:.4f}], binomial se {se:.4f})")
 
 
 if __name__ == "__main__":
