@@ -8,6 +8,7 @@ refuses train-only features and scores against the real test gallery.
 """
 
 import argparse
+import glob
 import os
 
 import numpy as np
@@ -555,6 +556,30 @@ def test_cli_sweep_cross_subject(tmp_path):
     # each round leaves its subject out of training: run dirs are tagged
     runs = os.listdir(tmp_path / "runs" / "contrast" / "nice")
     assert sorted(runs) == ["cross_exclude_sub-01", "cross_exclude_sub-02"]
+
+
+def test_cli_train_retrieval_shard_data(tmp_path):
+    """`--mesh --shard-data`: the dp-sharded resident mode through the full
+    user path (the sample arrays live N/dp per device; the run must train
+    and write the normal results.csv)."""
+    import csv as _csv
+
+    _write_two_subject_tree(tmp_path)
+    cli.main([
+        "train-retrieval", "--data-path", str(tmp_path),
+        "--features", str(tmp_path / "f.npz"),
+        "--encoder", "nice", "--subjects", "sub-01",
+        "--batch-size", "16", "--dtype", "float32", "--eval-ks", "2,6",
+        "--epochs", "2", "--output-dir", str(tmp_path / "runs"),
+        "--mesh", "--shard-data",
+    ])
+    path = glob.glob(
+        str(tmp_path / "runs" / "**" / "results.csv"), recursive=True
+    )[0]
+    with open(path, newline="") as f:
+        rows = list(_csv.DictReader(f))
+    assert len(rows) == 2
+    assert all(np.isfinite(float(r["loss"])) for r in rows)
 
 
 def test_cli_sweep_rejects_bad_compositions(tmp_path):
