@@ -237,6 +237,11 @@ BENCHES = {
                                  n_subjects=1),
     "joint": lambda: _bench_train("bs16_joint_2subj", batch=16, joint=True,
                                   n_subjects=2),
+    # the bs-16 row above is the reference's own default and is
+    # latency-bound (docs/PERF.md round-4 attribution); this row tracks the
+    # recommended larger-batch joint configuration
+    "joint256": lambda: _bench_train("bs256_joint_2subj", batch=256,
+                                     joint=True, n_subjects=2),
     "eval": _bench_eval,
     "recon": _bench_reconstruction,
 }

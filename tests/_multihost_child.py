@@ -35,10 +35,13 @@ def main() -> None:
     # idempotent re-entry must be a no-op
     assert multihost.initialize() == (pid, 2)
 
-    from tests.multihost_case import run_case
+    from tests.multihost_case import run_case, run_sharded_resident_case
 
     loss, acc = run_case(multihost_feed=True)
     print(f"RESULT {pid} {loss:.10f} {acc:.10f}", flush=True)
+
+    s_loss, s_acc = run_sharded_resident_case()
+    print(f"RESULT-SHARDED {pid} {s_loss:.10f} {s_acc:.10f}", flush=True)
 
 
 if __name__ == "__main__":

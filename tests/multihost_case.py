@@ -96,3 +96,61 @@ def run_case(*, multihost_feed: bool) -> tuple[float, float]:
         jax.device_get(metrics["train_acc"].addressable_shards[0].data)
     )
     return loss, acc
+
+
+def run_sharded_resident_case() -> tuple[float, float]:
+    """One epoch of the dp-SHARDED resident-dataset mode
+    (``DeviceData.from_host(shard_samples=True)`` + shard-local perms) over
+    the global 8-device mesh. ``from_host`` is multihost-aware internally
+    (each process contributes only its ``process_local_slice`` rows), so
+    the same call works in the single-process reference run and inside the
+    2-process cluster — the values must agree bit-for-bit."""
+    from eeg_image_decode_tpu.core.config import ContrastiveTrainConfig
+    from eeg_image_decode_tpu.core.mesh import create_mesh
+    from eeg_image_decode_tpu.data.things_eeg import EEGRetrievalData
+    from eeg_image_decode_tpu.models import build_encoder
+    from eeg_image_decode_tpu.parallel.multihost import replicate_global
+    from eeg_image_decode_tpu.train.contrastive import (
+        DeviceData,
+        create_train_state,
+        make_epoch_fn,
+        sharded_epoch_perm,
+    )
+
+    mesh = create_mesh(data_parallel=8)
+    n = GLOBAL_BATCH * 2  # 2 steps/epoch, 4 rows per device resident
+    rng = np.random.default_rng(777)
+    train = EEGRetrievalData(
+        eeg=rng.normal(size=(n, 63, TIMEPOINTS)).astype(np.float32),
+        labels=(np.arange(n, dtype=np.int32) % N_CLASSES),
+        subject_ids=np.zeros(n, np.int32),
+        img_idx=(np.arange(n, dtype=np.int32) % N_CLASSES),
+        text_idx=(np.arange(n, dtype=np.int32) % N_CLASSES),
+        img_features=rng.normal(size=(N_CLASSES, CLIP_DIM)).astype(np.float32),
+        text_features=rng.normal(size=(N_CLASSES, CLIP_DIM)).astype(np.float32),
+        n_classes=N_CLASSES,
+    )
+    cfg = ContrastiveTrainConfig(
+        encoder="nice", batch_size=GLOBAL_BATCH, epochs=1, lr=1e-3,
+        eval_ks=(N_CLASSES,),
+    )
+    model = build_encoder(
+        "nice", proj_dim=CLIP_DIM, temporal_kernel=9, pool_size=16,
+        pool_stride=4,
+    )
+    state, tx = create_train_state(
+        model, cfg, jnp.asarray(train.eeg[:2]),
+        jnp.asarray(train.subject_ids[:2]),
+    )
+    state = replicate_global(mesh, state)
+    data = DeviceData.from_host(train, mesh, shard_samples=True)
+    epoch_fn = make_epoch_fn(model, tx, cfg, mesh=mesh, shard_samples=True)
+    perm = jnp.asarray(sharded_epoch_perm(
+        n, GLOBAL_BATCH, 8, seed=3, epoch=0
+    ))
+    state, metrics = epoch_fn(state, data, perm, jax.random.key(11))
+    loss = float(jax.device_get(metrics["loss"].addressable_shards[0].data))
+    acc = float(
+        jax.device_get(metrics["train_acc"].addressable_shards[0].data)
+    )
+    return loss, acc

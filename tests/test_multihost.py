@@ -128,9 +128,10 @@ def test_two_process_cluster_matches_single_process():
     step (BatchNorm psum, global-batch InfoNCE, AdamW, probe acc) fed via
     make_array_from_process_local_data must reproduce the single-process
     value, and both members must agree exactly."""
-    from tests.multihost_case import run_case
+    from tests.multihost_case import run_case, run_sharded_resident_case
 
     ref_loss, ref_acc = run_case(multihost_feed=False)
+    ref_sharded = run_sharded_resident_case()
 
     port = _free_port()
     env = dict(os.environ)
@@ -153,11 +154,17 @@ def test_two_process_cluster_matches_single_process():
         assert p.returncode == 0, f"child failed:\n{out}"
 
     results = {}
+    sharded = {}
     for out in outs:
         lines = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
         assert lines, f"no RESULT line in:\n{out}"
         _, pid, loss, acc = lines[0].split()
         results[int(pid)] = (float(loss), float(acc))
+        s_lines = [ln for ln in out.splitlines()
+                   if ln.startswith("RESULT-SHARDED ")]
+        assert s_lines, f"no RESULT-SHARDED line in:\n{out}"
+        _, pid, loss, acc = s_lines[0].split()
+        sharded[int(pid)] = (float(loss), float(acc))
     assert set(results) == {0, 1}
     # both cluster members see the identical replicated metrics
     assert results[0] == results[1], results
@@ -166,3 +173,12 @@ def test_two_process_cluster_matches_single_process():
     # vs in-process may differ in the last ulps)
     np.testing.assert_allclose(loss, ref_loss, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(acc, ref_acc, rtol=0, atol=1e-6)
+
+    # the dp-sharded resident-dataset mode holds across processes too:
+    # each host fed only its own shard rows through from_host, yet the
+    # epoch metrics agree with the single-process 8-device run
+    assert sharded[0] == sharded[1], sharded
+    np.testing.assert_allclose(sharded[0][0], ref_sharded[0],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(sharded[0][1], ref_sharded[1],
+                               rtol=0, atol=1e-6)
