@@ -742,7 +742,14 @@ def cmd_serve(args):
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.encoder == "atms":
         model = build_encoder(
-            "atms", config=ATMSConfig(joint_train=args.joint), dtype=dtype
+            "atms",
+            config=ATMSConfig(
+                joint_train=args.joint,
+                # serve converted reference checkpoints activation-exactly
+                # (erf FFN gelu, Transformer_EncDec.py:33-41)
+                exact_gelu=getattr(args, "exact_gelu", False),
+            ),
+            dtype=dtype,
         )
     else:
         model = build_encoder(args.encoder, dtype=dtype)
@@ -826,10 +833,12 @@ def cmd_generate(args):
     )
 
     gcfg = GeneratorConfig.tiny() if args.tiny else GeneratorConfig()
-    if args.tiny and gcfg.unet.ip_image_embed_dim != pipe.cfg.embed_dim:
-        # tiny smoke mode must accept whatever embedding width the prior
-        # emits (e.g. a full-size 1024-d prior driven through a tiny
-        # generator in the acceptance dry-run)
+    if (args.tiny and not args.generator_params
+            and gcfg.unet.ip_image_embed_dim != pipe.cfg.embed_dim):
+        # random-init tiny smoke mode must accept whatever embedding width
+        # the prior emits (e.g. a full-size 1024-d prior driven through a
+        # tiny generator in the acceptance dry-run); when params ARE
+        # supplied their saved structure defines the config — don't rewrite
         from dataclasses import replace as _replace
 
         gcfg = _replace(
@@ -1521,6 +1530,9 @@ def main(argv=None):
     p.add_argument("--joint", action="store_true",
                    help="checkpoint was trained with --joint "
                         "(per-subject embedding tables)")
+    p.add_argument("--exact-gelu", action="store_true", dest="exact_gelu",
+                   help="exact-erf FFN gelu for checkpoints CONVERTED from "
+                        "the reference (see evaluate --exact-gelu)")
     p.add_argument("--features", required=True,
                    help=".npz with the gallery CLIP features "
                         "(img_features_test or img_features)")

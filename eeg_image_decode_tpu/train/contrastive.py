@@ -171,6 +171,21 @@ class DeviceData(struct.PyTreeNode):
         return DeviceData(**out)
 
 
+def epoch_permutation(
+    n: int, batch: int, seed: int, epoch: int
+) -> np.ndarray:
+    """The trainer's canonical (seed, epoch) → (n_steps, batch) shuffled
+    batch-index schedule. One definition shared by ``ContrastiveTrainer``
+    and the parity rehearsal (``scripts/parity_trajectory.py``) so the
+    rehearsal always exercises the trainer's real batch order."""
+    n_steps = n // batch
+    rng = np.random.default_rng(seed * 100003 + epoch)
+    return (
+        rng.permutation(n)[: n_steps * batch]
+        .reshape(n_steps, batch).astype(np.int32)
+    )
+
+
 def sharded_epoch_perm(
     n: int, batch: int, dp: int, seed: int, epoch: int
 ) -> np.ndarray:
@@ -185,7 +200,8 @@ def sharded_epoch_perm(
     shard instead of fully mixed)."""
     if n % dp or batch % dp:
         raise ValueError(
-            f"n={n} and batch={batch} must both divide dp={dp}"
+            f"n={n} and batch={batch} must both be divisible by the "
+            f"data-parallel axis (dp={dp})"
         )
     n_local, b_local = n // dp, batch // dp
     n_steps = n // batch
@@ -299,8 +315,7 @@ def make_epoch_fn(
         return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
     if mesh is None:
-        if shard_samples:
-            raise ValueError("shard_samples=True requires a mesh")
+        # (shard_samples without a mesh already raised above)
         return jax.jit(epoch_fn, donate_argnums=(0,))
     from eeg_image_decode_tpu.core.mesh import dp_epoch_jit, validate_dp_batch
 
@@ -582,10 +597,7 @@ class ContrastiveTrainer:
         if self.shard_samples:
             dp = self.mesh.shape.get(self.cfg.data_axis, 1)
             return sharded_epoch_perm(n, bs, dp, self.cfg.seed, epoch)
-        n_steps = n // bs
-        rng = np.random.default_rng(self.cfg.seed * 100003 + epoch)
-        perm = rng.permutation(n)[: n_steps * bs].reshape(n_steps, bs)
-        return perm.astype(np.int32)
+        return epoch_permutation(n, bs, self.cfg.seed, epoch)
 
     def train_epoch(self, epoch: int) -> dict:
         key = jax.random.key(self.cfg.seed + 7919 * epoch)

@@ -243,6 +243,22 @@ def main(argv=None):
     ])
     row = _final_row(_latest_results_csv(runs))
     acc = row.get(acc_key)
+    if acc is None:
+        # the evaluator silently skips any k > n_test_classes (subset runs,
+        # THINGS-MEG's 200-vs-fewer) — fall back to the hardest k present
+        # rather than crash, and say so in the report
+        avail = sorted(
+            (int(k.split("top1_k")[1]) for k in row if k.startswith("top1_k")),
+            reverse=True,
+        )
+        if not avail:
+            report.add("retrieval", "fail",
+                       note=f"no top1_k* column in results.csv ({acc_key} "
+                            "requested)", columns=sorted(row))
+            print("OVERALL: FAIL")
+            return 1
+        acc_key = f"top1_k{avail[0]}"
+        acc = row[acc_key]
     status = ("pass" if band[0] <= acc <= band[1]
               else ("fail" if acc < hard else "warn"))
     report.add(

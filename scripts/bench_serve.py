@@ -171,6 +171,7 @@ def load_bench() -> None:
         for clients in (1, 2, 8, 32):
             n_total = max(64, clients * 8)
             lat: list[float] = []
+            errors: list[str] = []
             lock = threading.Lock()
             counter = iter(range(n_total))
 
@@ -179,7 +180,12 @@ def load_bench() -> None:
                     with lock:
                         if next(counter, None) is None:
                             return
-                    dt = one_request()
+                    try:
+                        dt = one_request()
+                    except Exception as e:  # keep draining; report at end
+                        with lock:
+                            errors.append(f"{type(e).__name__}: {e}")
+                        continue
                     with lock:
                         lat.append(dt)
 
@@ -192,6 +198,14 @@ def load_bench() -> None:
             for t in threads:
                 t.join()
             wall = time.perf_counter() - t0
+            if not lat:
+                print(json.dumps({
+                    "metric": "serve_retrieval_load",
+                    "error": f"all {n_total} requests failed; first: "
+                             f"{errors[0] if errors else '?'}",
+                    "config": {"in_flight_clients": clients},
+                }), flush=True)
+                continue
             lat_ms = np.sort(np.asarray(lat)) * 1e3
             print(json.dumps({
                 "metric": "serve_retrieval_load",
@@ -202,8 +216,10 @@ def load_bench() -> None:
                     "request_batch": req_b,
                     "gallery": 16540,
                     "p99_ms": round(float(np.percentile(lat_ms, 99)), 1),
-                    "throughput_req_s": round(n_total / wall, 1),
+                    # completed/wall — honest when some requests errored
+                    "throughput_req_s": round(len(lat) / wall, 1),
                     "n_requests": n_total,
+                    "n_failed": len(errors),
                 },
             }), flush=True)
     finally:

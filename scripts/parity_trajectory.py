@@ -57,17 +57,12 @@ def build_data(n_classes, ipc, reps, seed):
 
 
 def epoch_perms(n, batch, epochs, seed):
-    """Shared batch order: the trainer's exact (seed, epoch) formula
-    (``train/contrastive.py::ContrastiveTrainer._epoch_perm``)."""
-    out = []
-    n_steps = n // batch
-    for epoch in range(epochs):
-        rng = np.random.default_rng(seed * 100003 + epoch)
-        out.append(
-            rng.permutation(n)[: n_steps * batch]
-            .reshape(n_steps, batch).astype(np.int32)
-        )
-    return out
+    """Shared batch order: the trainer's OWN schedule function
+    (``train/contrastive.py::epoch_permutation``) — imported, not copied,
+    so the rehearsal always exercises the real trainer batch order."""
+    from eeg_image_decode_tpu.train.contrastive import epoch_permutation
+
+    return [epoch_permutation(n, batch, seed, e) for e in range(epochs)]
 
 
 def run_jax(sd, train, test, perms, batch, lr, wd, *, dropout=False,

@@ -121,10 +121,22 @@ def main():
     joint = "--joint" in argv
     batch = None
     if "--batch" in argv:
-        batch = int(argv[argv.index("--batch") + 1])
-        del argv[argv.index("--batch"):argv.index("--batch") + 2]
+        i = argv.index("--batch")
+        try:
+            batch = int(argv[i + 1])
+        except (IndexError, ValueError):
+            raise SystemExit(
+                "usage: profile_step.py [top_n] [--batch N] [--joint] "
+                "(--batch needs an integer value)"
+            )
+        del argv[i:i + 2]
     argv = [a for a in argv if a != "--joint"]
-    top_n = int(argv[0]) if argv else 20
+    try:
+        top_n = int(argv[0]) if argv else 20
+    except ValueError:
+        raise SystemExit(
+            "usage: profile_step.py [top_n] [--batch N] [--joint]"
+        )
     trace_dir = tempfile.mkdtemp(prefix="eeg_tpu_prof_")
     try:
         wall = capture(trace_dir, batch=batch, joint=joint)
