@@ -1300,6 +1300,54 @@ def cmd_metrics(args):
         print(f"wrote {args.out}")
 
 
+def cmd_export_checkpoint(args):
+    """Trained ATMS run directory → reference-format torch ``.pth`` — the
+    reverse migration: a model trained HERE loads straight into the
+    reference's ``ATMS_retrieval.py`` via ``load_state_dict`` (exact inverse
+    of the import converter; behavioral equivalence tested in
+    ``tests/test_convert.py``)."""
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.core.checkpoint import Checkpointer
+    from eeg_image_decode_tpu.core.config import (
+        ATMSConfig,
+        ContrastiveTrainConfig,
+    )
+    from eeg_image_decode_tpu.models import build_encoder
+    from eeg_image_decode_tpu.train.contrastive import create_train_state
+    from eeg_image_decode_tpu.utils.convert import export_atms_state_dict
+
+    model = build_encoder(
+        "atms", config=ATMSConfig(joint_train=args.joint)
+    )
+    sample = jnp.zeros((2, args.channels, args.timepoints))
+    state, _ = create_train_state(
+        model, ContrastiveTrainConfig(), sample, jnp.zeros((2,), jnp.int32)
+    )
+    ckpt = Checkpointer(os.path.join(args.run_dir, "ckpt"))
+    try:
+        state = ckpt.restore(args.step, state)
+    except Exception as e:
+        raise SystemExit(f"could not restore {args.run_dir}: {e}") from None
+    sd = export_atms_state_dict(
+        {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    try:
+        import torch
+
+        torch.save({k: torch.tensor(v) for k, v in sd.items()}, args.out)
+    except ImportError:
+        # numpy pickle fallback: load with np.load(..., allow_pickle=True)
+        # and wrap in torch tensors on the torch side
+        import pickle
+
+        with open(args.out, "wb") as f:
+            pickle.dump(sd, f, protocol=4)
+        print("torch not installed: wrote a numpy pickle instead "
+              "(convert to .pth on a torch machine)")
+    print(f"wrote {args.out} ({len(sd)} tensors)")
+
+
 def cmd_smoke(args):
     """Synthetic end-to-end: retrieval training + prior + generation."""
     import jax
@@ -1678,6 +1726,22 @@ def main(argv=None):
                    help="flax CLIP ViT-L/14 vision-tower params (pickle)")
     p.add_argument("--out", default=None, help="CSV output path")
     p.set_defaults(fn=cmd_metrics)
+
+    p = sub.add_parser(
+        "export-checkpoint",
+        help="trained ATMS run → reference-format torch .pth "
+             "(reverse migration)",
+    )
+    p.add_argument("--run-dir", required=True,
+                   help="train-retrieval run directory (ckpt/ inside)")
+    p.add_argument("--out", required=True, help="output .pth path")
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step (default: latest)")
+    p.add_argument("--joint", action="store_true",
+                   help="run was trained with --joint")
+    p.add_argument("--channels", type=int, default=63)
+    p.add_argument("--timepoints", type=int, default=250)
+    p.set_defaults(fn=cmd_export_checkpoint)
 
     p = sub.add_parser("smoke", help="synthetic end-to-end check")
     p.set_defaults(fn=cmd_smoke)

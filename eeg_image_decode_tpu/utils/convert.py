@@ -50,6 +50,117 @@ def _ln(sd: dict, prefix: str):
             "bias": np.asarray(sd[f"{prefix}.bias"])}
 
 
+def export_atms_state_dict(variables: dict) -> dict:
+    """Flax ATMS variables → a reference-format torch ``state_dict``
+    (numpy values) — the INVERSE of :func:`convert_atms_state_dict`, so a
+    user can take a model trained here back to the reference codebase
+    (``Retrieval/ATMS_retrieval.py`` loads it with
+    ``eeg_model.load_state_dict(torch.load(...))``).
+
+    All linear/attention/LayerNorm/embedding tensors are exact inverses
+    (transposes). The one representation difference: on import, the
+    conv-before-BatchNorm biases are folded into the BN running means
+    (``BN(x + b) = BN'(x)`` with ``mean' = mean − b``); the export emits
+    zero conv biases with the current means, which is the SAME function —
+    behavioral equivalence is pinned by
+    ``tests/test_convert.py::test_export_roundtrip_behavioral``.
+    """
+    import jax
+
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])["encoder"]
+    stats = jax.tree_util.tree_map(
+        np.asarray, variables.get("batch_stats", {})
+    ).get("encoder", {})
+    ls = variables["params"]["logit_scale"]["logit_scale"]
+    sd: dict = {"logit_scale": np.asarray(ls)}
+
+    def put_linear(name, leaf):
+        sd[f"{name}.weight"] = linear_to_kernel(leaf["kernel"])  # involution
+        sd[f"{name}.bias"] = np.asarray(leaf["bias"])
+
+    def put_ln(name, leaf):
+        sd[f"{name}.weight"] = np.asarray(leaf["scale"])
+        sd[f"{name}.bias"] = np.asarray(leaf["bias"])
+
+    def put_bn(name, affine, running):
+        sd[f"{name}.weight"] = np.asarray(affine["scale"])
+        sd[f"{name}.bias"] = np.asarray(affine["bias"])
+        sd[f"{name}.running_mean"] = np.asarray(running["mean"])
+        sd[f"{name}.running_var"] = np.asarray(running["var"])
+        sd[f"{name}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    def hwio_to_conv2d(k):
+        # (kH, kW, I, O) → (O, I, kH, kW)
+        return np.ascontiguousarray(np.transpose(np.asarray(k), (3, 2, 0, 1)))
+
+    emb = p["embedding"]
+    put_linear("encoder.enc_embedding.value_embedding",
+               emb["value_embedding"])
+    sd["encoder.enc_embedding.subject_embedding.subject_embedding.weight"] = (
+        emb["subject_token"]["subject_embedding"]
+    )
+    sd["encoder.enc_embedding.subject_embedding.shared_embedding"] = (
+        emb["subject_token"]["shared_embedding"]
+    )
+
+    i = 0
+    while f"encoder_layer_{i}" in p:
+        layer = p[f"encoder_layer_{i}"]
+        q = f"encoder.encoder.attn_layers.{i}"
+        put_linear(f"{q}.attention.query_projection", layer["q_proj"])
+        put_linear(f"{q}.attention.key_projection", layer["k_proj"])
+        put_linear(f"{q}.attention.value_projection", layer["v_proj"])
+        put_linear(f"{q}.attention.out_projection", layer["out_proj"])
+        # Dense kernel (in, out) → 1x1 Conv1d weight (out, in, 1)
+        sd[f"{q}.conv1.weight"] = linear_to_kernel(
+            layer["ffn_in"]["kernel"]
+        )[:, :, None]
+        sd[f"{q}.conv1.bias"] = np.asarray(layer["ffn_in"]["bias"])
+        sd[f"{q}.conv2.weight"] = linear_to_kernel(
+            layer["ffn_out"]["kernel"]
+        )[:, :, None]
+        sd[f"{q}.conv2.bias"] = np.asarray(layer["ffn_out"]["bias"])
+        put_ln(f"{q}.norm1", layer["norm1"])
+        put_ln(f"{q}.norm2", layer["norm2"])
+        i += 1
+    put_ln("encoder.encoder.norm", p["encoder_norm"])
+
+    enc = p["enc_eeg"]
+    if "temporal_conv_kernel" in enc:  # fused layout: (k_t, filters)
+        w_t = np.asarray(enc["temporal_conv_kernel"])
+        sd["enc_eeg.0.tsconv.0.weight"] = np.ascontiguousarray(
+            w_t.T[:, None, None, :]
+        )  # (filters, 1, 1, k_t)
+    else:
+        sd["enc_eeg.0.tsconv.0.weight"] = hwio_to_conv2d(
+            enc["temporal_conv"]["kernel"]
+        )
+    n_f = sd["enc_eeg.0.tsconv.0.weight"].shape[0]
+    # bias was folded into bn1's running mean at import (or never existed
+    # for a model trained here) — zero bias + current mean is identical
+    sd["enc_eeg.0.tsconv.0.bias"] = np.zeros((n_f,), np.float32)
+    put_bn("enc_eeg.0.tsconv.2", enc["bn1"], stats["enc_eeg"]["bn1"])
+    sd["enc_eeg.0.tsconv.4.weight"] = hwio_to_conv2d(
+        enc["spatial_conv"]["kernel"]
+    )
+    sd["enc_eeg.0.tsconv.4.bias"] = np.zeros(
+        (sd["enc_eeg.0.tsconv.4.weight"].shape[0],), np.float32
+    )
+    put_bn("enc_eeg.0.tsconv.5", enc["bn2"], stats["enc_eeg"]["bn2"])
+    sd["enc_eeg.0.projection.0.weight"] = hwio_to_conv2d(
+        enc["proj_conv"]["kernel"]
+    )
+    sd["enc_eeg.0.projection.0.bias"] = np.asarray(
+        enc["proj_conv"]["bias"]
+    )
+
+    proj = p["proj_eeg"]
+    put_linear("proj_eeg.0", proj["in_proj"])
+    put_linear("proj_eeg.1.fn.1", proj["res_proj"])
+    put_ln("proj_eeg.2", proj["ln"])
+    return sd
+
+
 def reference_atms_config(**overrides):
     """ATMSConfig preset for CONVERTED reference checkpoints.
 

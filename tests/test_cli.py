@@ -769,3 +769,53 @@ def test_cli_subjects_all_expands_from_data_dir(tmp_path):
     args.subjects, args.data_path = "all", str(empty)
     with pytest.raises(SystemExit, match="no sub-"):
         cli._resolve_subjects(args)
+
+
+def test_cli_export_checkpoint_roundtrip(tmp_path):
+    """`export-checkpoint`: a run trained HERE exports to the reference's
+    state_dict format and loads back through the import converter with the
+    identical forward (the reverse-migration path)."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.core.config import ATMSConfig
+    from eeg_image_decode_tpu.models import build_encoder
+    from eeg_image_decode_tpu.utils.convert import convert_atms_state_dict
+
+    _write_two_subject_tree(tmp_path)
+    cli.main([
+        "train-retrieval", "--data-path", str(tmp_path),
+        "--features", str(tmp_path / "f.npz"),
+        "--encoder", "atms", "--subjects", "sub-01",
+        "--batch-size", "16", "--dtype", "float32", "--eval-ks", "2,6",
+        "--epochs", "1", "--output-dir", str(tmp_path / "runs"),
+    ])
+    base = tmp_path / "runs" / "contrast" / "atms" / "sub-01"
+    run_dir = str(base / os.listdir(base)[0])
+    out = tmp_path / "exported.pth"
+    cli.main(["export-checkpoint", "--run-dir", run_dir, "--out", str(out)])
+
+    try:
+        import torch
+
+        sd = {k: v.numpy() for k, v in
+              torch.load(out, weights_only=True).items()}
+    except ImportError:
+        with open(out, "rb") as f:
+            sd = pickle.load(f)
+    assert "logit_scale" in sd and "proj_eeg.2.bias" in sd
+
+    variables = convert_atms_state_dict(sd)
+    # the fixture subjects carry 300 post-window timepoints (test_data's
+    # _write_subject grid), so the trained/exported value embedding is
+    # (300, 250) — rebuild at that seq_len
+    model = build_encoder("atms", config=ATMSConfig(seq_len=300))
+    rng_l = np.random.default_rng(0)
+    x = rng_l.normal(size=(2, 63, 300)).astype(np.float32)
+    feats, _ = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), jnp.ones((2,), jnp.int32), deterministic=True,
+    )
+    assert np.isfinite(np.asarray(feats)).all()

@@ -145,3 +145,73 @@ def test_tsconv_bias_folding_matches_torch_chain(rng):
     np.testing.assert_allclose(
         np.transpose(np.asarray(got), (0, 3, 1, 2)), want, atol=2e-4
     )
+
+
+def test_export_roundtrip_exact_where_invertible(rng):
+    """export(convert(sd)) reproduces every exactly-invertible tensor of the
+    original reference state_dict bit-for-bit, and
+    convert(export(convert(sd))) is a FIXED POINT (the conv-bias/BN-mean
+    fold is the only representation change, and it converges in one step)."""
+    from eeg_image_decode_tpu.utils.convert import export_atms_state_dict
+
+    sd0 = _rand_state_dict(rng)
+    variables = convert_atms_state_dict(sd0)
+    sd1 = export_atms_state_dict(variables)
+
+    # every reference key is present (plus torch's num_batches_tracked)
+    missing = set(sd0) - set(sd1)
+    assert not missing, missing
+    folded = {
+        "enc_eeg.0.tsconv.0.bias", "enc_eeg.0.tsconv.2.running_mean",
+        "enc_eeg.0.tsconv.4.bias", "enc_eeg.0.tsconv.5.running_mean",
+    }
+    for k in sd0:
+        if k in folded:
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(sd1[k]), np.asarray(sd0[k]), err_msg=k
+        )
+        assert sd1[k].shape == np.asarray(sd0[k]).shape, k
+
+    # the fold is self-consistent: mean' = mean - b with b' = 0
+    np.testing.assert_allclose(
+        sd1["enc_eeg.0.tsconv.2.running_mean"],
+        np.asarray(sd0["enc_eeg.0.tsconv.2.running_mean"])
+        - np.asarray(sd0["enc_eeg.0.tsconv.0.bias"]),
+        rtol=1e-6,
+    )
+
+    # fixed point through a second roundtrip
+    variables2 = convert_atms_state_dict(sd1)
+    flat1 = jax.tree_util.tree_flatten_with_path(variables)[0]
+    flat2 = dict(jax.tree_util.tree_flatten_with_path(variables2)[0])
+    for path, v in flat1:
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(flat2[path]), err_msg=str(path)
+        )
+
+
+def test_export_roundtrip_behavioral(rng):
+    """The exported state_dict behaves IDENTICALLY to the original in an
+    independent torch forward, and matches the flax forward — the
+    both-directions migration guarantee."""
+    torch = pytest.importorskip("torch")  # noqa: F841
+    from tests.test_atms_torch_parity import _torch_atms_forward
+    from eeg_image_decode_tpu.utils.convert import export_atms_state_dict
+
+    sd0 = _rand_state_dict(rng)
+    variables = convert_atms_state_dict(sd0)
+    sd1 = export_atms_state_dict(variables)
+
+    x = (rng.normal(size=(3, C, T)) * 0.5).astype(np.float32)
+    want = _torch_atms_forward(sd0, x, 4)
+    got = _torch_atms_forward(sd1, x, 4)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    model = build_encoder("atms")
+    feats, _ = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), jnp.full((3,), 4, jnp.int32), deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(feats), got, atol=2e-3, rtol=2e-3)
