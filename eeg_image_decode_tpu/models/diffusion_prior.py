@@ -166,6 +166,44 @@ def convert_diffusion_prior(sd: dict, *, n_stages: int | None = None) -> dict:
     return params
 
 
+def export_diffusion_prior(params: dict) -> dict:
+    """:class:`DiffusionPriorUNet` params → reference ``diffusion_prior.pt``
+    state-dict layout (numpy values) — the exact inverse of
+    :func:`convert_diffusion_prior` (every tensor a transpose/copy), so a
+    prior trained HERE loads straight into the reference's
+    ``Pipe(diffusion_prior=DiffusionPriorUNet(...))`` via
+    ``load_state_dict`` (``Generation/diffusion_prior.py:92-203``)."""
+    import jax
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    sd: dict = {}
+
+    def lin(p: str, leaf: dict):
+        sd[f"{p}.weight"] = np.ascontiguousarray(leaf["kernel"].T)
+        sd[f"{p}.bias"] = np.asarray(leaf["bias"])
+
+    def ln(p: str, leaf: dict):
+        sd[f"{p}.weight"] = np.asarray(leaf["scale"])
+        sd[f"{p}.bias"] = np.asarray(leaf["bias"])
+
+    lin("input_layer.0", params["input_dense"])
+    ln("input_layer.1", params["input_ln"])
+    lin("output_layer", params["output_dense"])
+    n_stages = sum(1 for k in params if k.startswith("enc_layer_"))
+    for side, enc in (("enc", "encode"), ("dec", "decode")):
+        for i in range(n_stages):
+            lin(f"{enc}_time_embedding.{i}.linear_1",
+                params[f"{side}_time_{i}"]["fc1"])
+            lin(f"{enc}_time_embedding.{i}.linear_2",
+                params[f"{side}_time_{i}"]["fc2"])
+            lin(f"{enc}_cond_embedding.{i}", params[f"{side}_cond_{i}"])
+            lin(f"{enc}_layers.{i}.0",
+                params[f"{side}_layer_{i}"]["Dense_0"])
+            ln(f"{enc}_layers.{i}.1",
+               params[f"{side}_layer_{i}"]["LayerNorm_0"])
+    return sd
+
+
 class DiffusionPriorMLP(nn.Module):
     """Flat residual-MLP variant (ref ``DiffusionPrior``, :12-89)."""
 

@@ -105,3 +105,51 @@ def convert_encoder_low_level(sd: dict) -> dict:
     params["bn_proj"], stats["bn_proj"] = bn("upsampler.19")
     params["proj_out"] = conv1x1("upsampler.21")
     return {"params": params, "batch_stats": stats}
+
+
+def export_encoder_low_level(variables: dict) -> dict:
+    """:class:`EncoderLowLevel` variables → reference ``encoder_low_level``
+    state-dict layout — the exact inverse of
+    :func:`convert_encoder_low_level` (the spatial double-flip and every
+    transpose are involutions), so a low-level encoder trained HERE loads
+    straight into the reference's
+    ``train_vae_latent_512_low_level_no_average.py:219-251`` module."""
+    import jax
+
+    v = jax.tree_util.tree_map(np.asarray, variables)
+    p, stats = v["params"], v.get("batch_stats", {})
+    sd: dict = {}
+
+    def convt(name, leaf):  # flipped (kh, kw, in, out) → (in, out, kh, kw)
+        w = np.asarray(leaf["kernel"])[::-1, ::-1]
+        sd[f"{name}.weight"] = np.ascontiguousarray(
+            np.transpose(w, (2, 3, 0, 1))
+        )
+        sd[f"{name}.bias"] = np.asarray(leaf["bias"])
+
+    def conv1x1(name, leaf):
+        sd[f"{name}.weight"] = np.ascontiguousarray(
+            np.transpose(np.asarray(leaf["kernel"]), (2, 3, 0, 1))
+        )
+        sd[f"{name}.bias"] = np.asarray(leaf["bias"])
+
+    def bn(name, affine, running):
+        sd[f"{name}.weight"] = np.asarray(affine["scale"])
+        sd[f"{name}.bias"] = np.asarray(affine["bias"])
+        sd[f"{name}.running_mean"] = np.asarray(running["mean"])
+        sd[f"{name}.running_var"] = np.asarray(running["var"])
+        sd[f"{name}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    sd["subject_wise_linear.0.weight"] = np.ascontiguousarray(
+        np.asarray(p["subject_linear"]["kernel"]).T
+    )
+    sd["subject_wise_linear.0.bias"] = np.asarray(
+        p["subject_linear"]["bias"]
+    )
+    for i, idx in enumerate((0, 3, 6, 9, 12, 15)):
+        convt(f"upsampler.{idx}", p[f"up_{i}"])
+        bn(f"upsampler.{idx + 1}", p[f"bn_{i}"], stats[f"bn_{i}"])
+    conv1x1("upsampler.18", p["proj_16"])
+    bn("upsampler.19", p["bn_proj"], stats["bn_proj"])
+    conv1x1("upsampler.21", p["proj_out"])
+    return sd

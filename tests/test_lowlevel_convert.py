@@ -81,3 +81,36 @@ def test_lowlevel_converter_forward_parity():
     np.testing.assert_allclose(
         got, np.transpose(want, (0, 2, 3, 1)), atol=1e-4, rtol=1e-4
     )
+
+
+def test_export_roundtrip_lowlevel():
+    """export_encoder_low_level inverts the importer bit-for-bit and the
+    exported dict loads back into the torch reference module with an
+    identical forward — reverse migration for trained low-level encoders."""
+    from eeg_image_decode_tpu.models.lowlevel import export_encoder_low_level
+
+    torch.manual_seed(2)
+    ref = _RefLowLevel().eval()
+    with torch.no_grad():
+        ref.train()
+        ref(torch.randn(4, N_CH, SEQ))
+        ref.eval()
+    sd0 = {k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = convert_encoder_low_level(sd0)
+    sd1 = export_encoder_low_level(variables)
+
+    assert set(sd1) == set(sd0), set(sd1) ^ set(sd0)
+    for k in sd0:
+        if k.endswith("num_batches_tracked"):
+            continue  # re-emitted as 0 (not used in eval-mode BN)
+        np.testing.assert_array_equal(sd1[k], np.asarray(sd0[k]), err_msg=k)
+
+    ref2 = _RefLowLevel()
+    ref2.load_state_dict({k: torch.tensor(v) for k, v in sd1.items()})
+    ref2.eval()
+    x = torch.tensor(
+        np.random.default_rng(3).normal(size=(2, N_CH, SEQ))
+        .astype(np.float32)
+    )
+    with torch.no_grad():
+        np.testing.assert_array_equal(ref2(x).numpy(), ref(x).numpy())

@@ -160,3 +160,32 @@ def test_converter_infers_stage_count(oracle):
     ref, _, params = oracle
     assert "enc_layer_1" in params and "enc_layer_2" not in params
     assert "dec_layer_1" in params and "dec_layer_2" not in params
+
+
+def test_export_roundtrip_prior(oracle):
+    """export_diffusion_prior is the exact inverse of the importer: every
+    reference tensor reproduced bit-for-bit, AND the exported dict loads
+    back into the torch reference module with an identical forward — the
+    reverse-migration guarantee for trained priors."""
+    from eeg_image_decode_tpu.models.diffusion_prior import (
+        export_diffusion_prior,
+    )
+
+    ref, model, params = oracle
+    sd0 = {k: v.numpy() for k, v in ref.state_dict().items()}
+    sd1 = export_diffusion_prior(params)
+    assert set(sd1) == set(sd0), set(sd1) ^ set(sd0)
+    for k in sd0:
+        np.testing.assert_array_equal(sd1[k], sd0[k], err_msg=k)
+
+    ref2 = _RefPriorUNet()
+    ref2.load_state_dict({k: torch.tensor(v) for k, v in sd1.items()})
+    ref2.eval()
+    rng = np.random.default_rng(5)
+    x = torch.tensor(rng.normal(size=(3, EMBED)).astype(np.float32))
+    c = torch.tensor(rng.normal(size=(3, COND)).astype(np.float32))
+    t = torch.tensor([1, 400, 900])
+    with torch.no_grad():
+        np.testing.assert_array_equal(
+            ref2(x, t, c).numpy(), ref(x, t, c).numpy()
+        )
