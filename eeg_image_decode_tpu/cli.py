@@ -1019,9 +1019,6 @@ def cmd_caption(args):
         ))
 
     cfg = GITConfig.tiny() if args.tiny else GITConfig.git_large_coco()
-    model = GITCaptioner(cfg)
-    proj = PixelProjector(num_tokens=cfg.num_visual_tokens,
-                          out_dim=cfg.visual_dim)
     if args.git_params:
         if not args.projector_params:
             raise SystemExit(
@@ -1032,7 +1029,22 @@ def cmd_caption(args):
             git_params = pickle.load(f)
         with open(args.projector_params, "rb") as f:
             proj_params = pickle.load(f)
-    else:  # random weights: smoke runs only (token ids are meaningless)
+        # derive the decoder shape from the weights themselves — a base-
+        # shaped checkpoint must not be applied under a large-shaped model
+        from eeg_image_decode_tpu.models.git_caption import (
+            git_config_from_params,
+        )
+
+        cfg = git_config_from_params(
+            git_params, max_text_len=cfg.max_text_len,
+            num_visual_tokens=cfg.num_visual_tokens,
+            bos_token_id=cfg.bos_token_id, eos_token_id=cfg.eos_token_id,
+            pad_token_id=cfg.pad_token_id,
+        )
+    model = GITCaptioner(cfg)
+    proj = PixelProjector(num_tokens=cfg.num_visual_tokens,
+                          out_dim=cfg.visual_dim)
+    if not args.git_params:  # random weights: smoke runs only
         dummy_e = jnp.zeros((1, embeds.shape[-1]), jnp.float32)
         dummy_v = jnp.zeros((1, cfg.num_visual_tokens, cfg.visual_dim))
         dummy_t = jnp.zeros((1, 2), jnp.int32)
@@ -1317,20 +1329,40 @@ def cmd_export_checkpoint(args):
     from eeg_image_decode_tpu.train.contrastive import create_train_state
     from eeg_image_decode_tpu.utils.convert import export_atms_state_dict
 
-    model = build_encoder(
-        "atms", config=ATMSConfig(joint_train=args.joint)
-    )
     sample = jnp.zeros((2, args.channels, args.timepoints))
-    state, _ = create_train_state(
-        model, ContrastiveTrainConfig(), sample, jnp.zeros((2,), jnp.int32)
-    )
     ckpt = Checkpointer(os.path.join(args.run_dir, "ckpt"))
-    try:
-        state = ckpt.restore(args.step, state)
-    except Exception as e:
-        raise SystemExit(f"could not restore {args.run_dir}: {e}") from None
+    # the checkpoint's tsconv layout depends on the TRAINING host's backend
+    # (fused_tsconv='auto' → fused kernel tree on TPU, plain conv tree on
+    # CPU); the export host's backend says nothing about it, so try both
+    # template layouts instead of trusting 'auto' here
+    state, errors = None, []
+    for fused in (False, True):
+        model = build_encoder(
+            "atms",
+            config=ATMSConfig(joint_train=args.joint, fused_tsconv=fused),
+        )
+        template, _ = create_train_state(
+            model, ContrastiveTrainConfig(), sample,
+            jnp.zeros((2,), jnp.int32),
+        )
+        try:
+            state = ckpt.restore(args.step, template)
+            break
+        except Exception as e:  # tree-structure mismatch → other layout
+            errors.append(f"fused_tsconv={fused}: {e}")
+    if state is None:
+        raise SystemExit(
+            f"could not restore {args.run_dir} under either tsconv layout:\n"
+            + "\n".join(errors)
+        )
+    num_subjects = args.num_subjects
+    if num_subjects is None:
+        # reference ModuleList sizes: ATMS_retrieval.py:172 (2) vs
+        # ATMS_retrieval_joint_train.py:173 (10)
+        num_subjects = 10 if args.joint else 2
     sd = export_atms_state_dict(
-        {"params": state.params, "batch_stats": state.batch_stats}
+        {"params": state.params, "batch_stats": state.batch_stats},
+        num_subjects=num_subjects,
     )
     try:
         import torch
@@ -1739,6 +1771,10 @@ def main(argv=None):
                    help="checkpoint step (default: latest)")
     p.add_argument("--joint", action="store_true",
                    help="run was trained with --joint")
+    p.add_argument("--num-subjects", type=int, default=None,
+                   help="size of the reference's (unused) subject_wise_"
+                        "linear ModuleList (default: 2, or 10 with --joint "
+                        "— the reference scripts' respective defaults)")
     p.add_argument("--channels", type=int, default=63)
     p.add_argument("--timepoints", type=int, default=250)
     p.set_defaults(fn=cmd_export_checkpoint)

@@ -52,11 +52,22 @@ class GITConfig:
 
     @staticmethod
     def git_large_coco() -> "GITConfig":
-        """microsoft/git-large-coco (the reference's checkpoint)."""
-        return GITConfig()
+        """microsoft/git-large-coco (the reference's checkpoint,
+        ``GIT_caption_batch.ipynb``): 1024-wide 6-layer decoder with 16
+        heads / 4096 FFN over CLIP ViT-L/14 grids (GIT scales the width
+        and the vision tower, not the decoder depth — Wang et al. 2022
+        §4.1; transformers ``microsoft/git-large-coco`` config.json).
 
-    # kept as an alias for earlier call sites
-    git_base = git_large_coco
+        When converting a real checkpoint prefer
+        :func:`git_config_from_state_dict`, which derives every dimension
+        from the weights themselves and cannot go stale.
+        """
+        return GITConfig(d_model=1024, n_heads=16, d_ff=4096)
+
+    @staticmethod
+    def git_base() -> "GITConfig":
+        """microsoft/git-base (transformers ``GitConfig()`` defaults)."""
+        return GITConfig()
 
     @staticmethod
     def tiny() -> "GITConfig":
@@ -274,7 +285,82 @@ def convert_pixel_projector(sd: dict) -> dict:
     }
 
 
-def convert_git_causal_lm(sd: dict, cfg: GITConfig = GITConfig()) -> dict:
+def git_config_from_state_dict(
+    sd: dict,
+    *,
+    n_heads: int | None = None,
+    **overrides,
+) -> GITConfig:
+    """Derive a :class:`GITConfig` from a ``GitForCausalLM`` state dict.
+
+    Every decoder dimension is read off the weights themselves —
+    ``vocab_size``/``d_model`` from the word-embedding table,
+    ``max_position_embeddings`` from the position table, ``d_ff`` from
+    ``intermediate.dense``, ``visual_dim`` from the visual projection, and
+    ``n_layers`` from the highest ``git.encoder.layer.{i}`` index — so a
+    checkpoint with a different shape than the hard-coded presets (e.g.
+    git-base vs git-large) converts correctly instead of silently
+    truncating. ``n_heads`` is the one dimension a state dict cannot
+    encode; GIT uses 64-wide heads in every released size (768/12,
+    1024/16), so it defaults to ``d_model // 64`` — pass it explicitly for
+    a non-standard checkpoint. Decode-time fields (``max_text_len``,
+    token ids, ``num_visual_tokens``, ``dropout``) keep their defaults
+    unless overridden via keyword.
+    """
+    word = np.asarray(sd["git.embeddings.word_embeddings.weight"])
+    vocab_size, d_model = word.shape
+    max_pos = int(np.asarray(
+        sd["git.embeddings.position_embeddings.weight"]).shape[0])
+    d_ff = int(np.asarray(
+        sd["git.encoder.layer.0.intermediate.dense.weight"]).shape[0])
+    visual_dim = int(np.asarray(
+        sd["git.visual_projection.visual_projection.0.weight"]).shape[1])
+    layer_ids = set()
+    for k in sd:
+        if k.startswith("git.encoder.layer."):
+            layer_ids.add(int(k.split(".")[3]))
+    n_layers = max(layer_ids) + 1
+    if layer_ids != set(range(n_layers)):
+        raise ValueError(
+            f"non-contiguous git.encoder.layer indices: {sorted(layer_ids)}")
+    if n_heads is None:
+        if d_model % 64:
+            raise ValueError(
+                f"d_model={d_model} is not a multiple of 64; pass n_heads= "
+                "explicitly for this checkpoint")
+        n_heads = d_model // 64
+    fields = dict(
+        vocab_size=int(vocab_size), d_model=int(d_model), n_layers=n_layers,
+        n_heads=int(n_heads), d_ff=d_ff, max_position_embeddings=max_pos,
+        visual_dim=visual_dim,
+    )
+    fields.update(overrides)
+    return GITConfig(**fields)
+
+
+def git_config_from_params(params: dict, *, n_heads: int | None = None,
+                           **overrides) -> GITConfig:
+    """Derive a :class:`GITConfig` from already-converted flax params (the
+    output of :func:`convert_git_causal_lm`), so loaders of pickled params
+    build a decoder of the right shape instead of trusting a preset."""
+    vocab_size, d_model = np.shape(params["token_embed"]["embedding"])
+    max_pos = int(np.shape(params["pos_embed"]["embedding"])[0])
+    d_ff = int(np.shape(params["layer_0"]["ff1"]["kernel"])[1])
+    visual_dim = int(np.shape(params["visual_proj"]["kernel"])[0])
+    n_layers = 1 + max(
+        int(k.split("_")[1]) for k in params if k.startswith("layer_"))
+    if n_heads is None:
+        n_heads = int(np.shape(params["layer_0"]["attn"]["query"]["bias"])[0])
+    fields = dict(
+        vocab_size=int(vocab_size), d_model=int(d_model), n_layers=n_layers,
+        n_heads=n_heads, d_ff=d_ff, max_position_embeddings=max_pos,
+        visual_dim=visual_dim,
+    )
+    fields.update(overrides)
+    return GITConfig(**fields)
+
+
+def convert_git_causal_lm(sd: dict, cfg: GITConfig | None = None) -> dict:
     """``GitForCausalLM`` / the reference's ``GitForCausalLMClipEmb``
     state_dict → flax :class:`GITCaptioner` params.
 
@@ -287,7 +373,31 @@ def convert_git_causal_lm(sd: dict, cfg: GITConfig = GITConfig()) -> dict:
     consumed here — ``GitForCausalLMClipEmb`` takes precomputed CLIP grids;
     convert it separately via
     :func:`eeg_image_decode_tpu.utils.convert_clip.convert_hf_clip_vision`.
+
+    With ``cfg=None`` (the recommended path) the decoder shape is derived
+    from the state dict via :func:`git_config_from_state_dict`. A config
+    passed explicitly is VALIDATED against the weights — a mismatch (e.g. a
+    checkpoint with more layers than ``cfg.n_layers``) raises instead of
+    silently truncating the model.
     """
+    if cfg is None:
+        cfg = derived = git_config_from_state_dict(sd)
+    else:
+        derived = git_config_from_state_dict(sd, n_heads=cfg.n_heads)
+        mismatches = [
+            f"{f}: cfg={getattr(cfg, f)} checkpoint={getattr(derived, f)}"
+            for f in ("vocab_size", "d_model", "n_layers", "d_ff",
+                      "max_position_embeddings", "visual_dim")
+            if getattr(cfg, f) != getattr(derived, f)
+        ]
+        if cfg.d_model % cfg.n_heads:
+            mismatches.append(
+                f"n_heads: {cfg.n_heads} does not divide d_model")
+        if mismatches:
+            raise ValueError(
+                "GITConfig does not match the checkpoint ("
+                + "; ".join(mismatches)
+                + ") — use git_config_from_state_dict(sd) or fix the config")
     sd = {k: np.asarray(v) for k, v in sd.items()}
     heads, d = cfg.n_heads, cfg.d_model
     head_dim = d // heads

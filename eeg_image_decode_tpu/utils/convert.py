@@ -50,12 +50,28 @@ def _ln(sd: dict, prefix: str):
             "bias": np.asarray(sd[f"{prefix}.bias"])}
 
 
-def export_atms_state_dict(variables: dict) -> dict:
+def _torch_positional_pe(d_model: int, max_len: int = 5000) -> np.ndarray:
+    """The reference ``PositionalEmbedding``'s persistent ``pe`` buffer
+    (``models/subject_layers/Embed.py:8-23``), reproduced exactly: torch
+    registers it with ``persistent=True`` so a ``strict=True`` load
+    REQUIRES the key even though it is deterministic."""
+    pe = np.zeros((max_len, d_model), np.float32)
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float32)
+        * -(np.log(10000.0) / d_model)
+    )
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe[None]  # (1, max_len, d_model)
+
+
+def export_atms_state_dict(variables: dict, *, num_subjects: int = 2) -> dict:
     """Flax ATMS variables → a reference-format torch ``state_dict``
     (numpy values) — the INVERSE of :func:`convert_atms_state_dict`, so a
     user can take a model trained here back to the reference codebase
     (``Retrieval/ATMS_retrieval.py`` loads it with
-    ``eeg_model.load_state_dict(torch.load(...))``).
+    ``eeg_model.load_state_dict(torch.load(...))``, default strict).
 
     All linear/attention/LayerNorm/embedding tensors are exact inverses
     (transposes). The one representation difference: on import, the
@@ -63,7 +79,23 @@ def export_atms_state_dict(variables: dict) -> dict:
     (``BN(x + b) = BN'(x)`` with ``mean' = mean − b``); the export emits
     zero conv biases with the current means, which is the SAME function —
     behavioral equivalence is pinned by
-    ``tests/test_convert.py::test_export_roundtrip_behavioral``.
+    ``tests/test_convert.py::test_export_roundtrip_behavioral`` and a
+    ``strict=True`` load into the reference's OWN ``ATMS`` class by
+    ``tests/test_reference_reverse_migration.py``.
+
+    The reference module carries parameters its forward never touches —
+    ``subject_wise_linear.{i}`` (forward-commented,
+    ``ATMS_retrieval.py:187``; ``num_subjects`` sizes the ModuleList, 2 in
+    the retrieval script, 10 in the joint script), the unused
+    ``temporal_embedding`` / ``mask_token`` / ``mask_embedding``, and the
+    deterministic ``position_embedding.pe`` buffer. ``strict=True``
+    requires all of them, so they are emitted here (zeros for the unused
+    learnables, the exact sinusoid for ``pe``).
+
+    Joint-trained models (``subject_value_w/b`` per-subject value
+    embeddings) export to the joint script's ModuleDict layout
+    ``value_embedding.{sid}.weight/bias``
+    (``ATMS_retrieval_joint_train.py`` / ``Embed.py:128-131``).
     """
     import jax
 
@@ -94,14 +126,36 @@ def export_atms_state_dict(variables: dict) -> dict:
         return np.ascontiguousarray(np.transpose(np.asarray(k), (3, 2, 0, 1)))
 
     emb = p["embedding"]
-    put_linear("encoder.enc_embedding.value_embedding",
-               emb["value_embedding"])
+    if "value_embedding" in emb:
+        put_linear("encoder.enc_embedding.value_embedding",
+                   emb["value_embedding"])
+    else:  # joint-trained: per-subject ModuleDict layout
+        w = np.asarray(emb["subject_value_w"])  # (S, seq_len, d_model)
+        b = np.asarray(emb["subject_value_b"])  # (S, d_model)
+        for sid in range(w.shape[0]):
+            sd[f"encoder.enc_embedding.value_embedding.{sid}.weight"] = (
+                linear_to_kernel(w[sid])  # (seq_len,d_model) → (d,seq) torch
+            )
+            sd[f"encoder.enc_embedding.value_embedding.{sid}.bias"] = b[sid]
     sd["encoder.enc_embedding.subject_embedding.subject_embedding.weight"] = (
         emb["subject_token"]["subject_embedding"]
     )
     sd["encoder.enc_embedding.subject_embedding.shared_embedding"] = (
         emb["subject_token"]["shared_embedding"]
     )
+    d_model = int(np.asarray(
+        emb["subject_token"]["shared_embedding"]).shape[-1])
+    # unused-by-forward keys the reference module still registers —
+    # strict=True load requires them (see docstring)
+    sd["encoder.enc_embedding.subject_embedding.mask_embedding"] = np.zeros(
+        (1, d_model), np.float32)
+    sd["encoder.enc_embedding.mask_token"] = np.zeros((1, d_model),
+                                                      np.float32)
+    sd["encoder.enc_embedding.position_embedding.pe"] = _torch_positional_pe(
+        d_model)
+    # timeF temporal embedding (freq 'h' → 4 inputs), never fed (x_mark=None)
+    sd["encoder.enc_embedding.temporal_embedding.embed.weight"] = np.zeros(
+        (d_model, 4), np.float32)
 
     i = 0
     while f"encoder_layer_{i}" in p:
@@ -124,6 +178,19 @@ def export_atms_state_dict(variables: dict) -> dict:
         put_ln(f"{q}.norm2", layer["norm2"])
         i += 1
     put_ln("encoder.encoder.norm", p["encoder_norm"])
+
+    # forward-commented subject_wise_linear stack (ATMS_retrieval.py:177,187)
+    # — nn.Linear(d_model, sequence_length) × num_subjects, never applied;
+    # zeros keep strict=True loads happy without affecting any output
+    seq_len = (
+        int(np.asarray(emb["value_embedding"]["kernel"]).shape[0])
+        if "value_embedding" in emb
+        else int(np.asarray(emb["subject_value_w"]).shape[1])
+    )
+    for s in range(num_subjects):
+        sd[f"subject_wise_linear.{s}.weight"] = np.zeros(
+            (seq_len, d_model), np.float32)
+        sd[f"subject_wise_linear.{s}.bias"] = np.zeros((seq_len,), np.float32)
 
     enc = p["enc_eeg"]
     if "temporal_conv_kernel" in enc:  # fused layout: (k_t, filters)
