@@ -833,6 +833,20 @@ def cmd_generate(args):
     )
 
     gcfg = GeneratorConfig.tiny() if args.tiny else GeneratorConfig()
+    if args.resolution:
+        # the reference's final recombination stage renders at 1024²
+        # (1x1024_reconstruct_sdxl.ipynb cells 20-27); SDXL latents are
+        # pixel/8, so 1024 → 128×128 latents
+        from dataclasses import replace as _replace_g
+
+        factor = gcfg.pixel_factor
+        if args.resolution % factor:
+            raise SystemExit(
+                f"--resolution must be a multiple of the VAE factor "
+                f"{factor}; got {args.resolution}"
+            )
+        side = args.resolution // factor
+        gcfg = _replace_g(gcfg, latent_size=(side, side))
     if (args.tiny and not args.generator_params
             and gcfg.unet.ip_image_embed_dim != pipe.cfg.embed_dim):
         # random-init tiny smoke mode must accept whatever embedding width
@@ -908,6 +922,18 @@ def cmd_generate(args):
             raise SystemExit(
                 f"--init-latents rows ({init_latents.shape[0]}) must align "
                 f"with the EEG test features ({feats_test.shape[0]})"
+            )
+        want_hw = tuple(gcfg.latent_size)
+        got_hw = (tuple(init_latents.shape[2:4])
+                  if init_latents.shape[1] == gcfg.vae.latent_channels
+                  else tuple(init_latents.shape[1:3]))
+        if got_hw != want_hw:
+            raise SystemExit(
+                f"--init-latents spatial size {got_hw} does not match the "
+                f"generation latent size {want_hw} "
+                f"(resolution {want_hw[0] * gcfg.pixel_factor}px); re-export "
+                "the low-level latents at this resolution or drop "
+                "--resolution"
             )
 
     from PIL import Image
@@ -1676,6 +1702,10 @@ def main(argv=None):
                    help="subject tag level in the output tree, e.g. sub-08")
     p.add_argument("--seeds", type=int, default=10)
     p.add_argument("--gen-batch", type=int, default=50)
+    p.add_argument("--resolution", type=int, default=None,
+                   help="output resolution in pixels (default: the config's "
+                        "512; the reference's recombination stage uses 1024 "
+                        "— 1x1024_reconstruct_sdxl.ipynb)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny generator config (tests/smoke)")
     p.set_defaults(fn=cmd_generate)

@@ -123,9 +123,16 @@ def make_cfg_sampler(
     timesteps = schedule.inference_timesteps(num_inference_steps)
 
     @partial(jax.jit, static_argnames=("shape",))
-    def sample(key: jax.Array, cond: jax.Array | None, shape: tuple[int, ...]):
+    def sample(key: jax.Array, cond: jax.Array | None, shape: tuple[int, ...],
+               init_noise: jax.Array | None = None,
+               step_noises: jax.Array | None = None):
+        """``init_noise`` (shape) / ``step_noises`` (steps, *shape) override
+        the PRNG draws — the shared-trajectory hook for sampling parity vs
+        the reference's ``Pipe.generate``
+        (``scripts/parity_prior_trajectory.py``)."""
         key, init_key = jax.random.split(key)
-        x = jax.random.normal(init_key, shape, jnp.float32)
+        x = (jax.random.normal(init_key, shape, jnp.float32)
+             if init_noise is None else init_noise.astype(jnp.float32))
         n = shape[0]
         use_cfg = cond is not None and guidance_scale != 0
         if use_cfg:
@@ -134,7 +141,8 @@ def make_cfg_sampler(
                 [jnp.ones((n,), jnp.float32), jnp.zeros((n,), jnp.float32)]
             )
 
-        def body(carry, t):
+        def body(carry, step_in):
+            t, injected = step_in
             x, key = carry
             key, nkey = jax.random.split(key)
             if use_cfg:
@@ -147,13 +155,16 @@ def make_cfg_sampler(
             else:
                 tb = jnp.full((n,), t, jnp.int32)
                 eps = denoise_fn(x, tb, cond, jnp.zeros((n,), jnp.float32))
-            noise = jax.random.normal(nkey, shape, jnp.float32)
+            noise = (jax.random.normal(nkey, shape, jnp.float32)
+                     if injected is None else injected)
             x = schedule.step(
                 eps, t, x, noise, num_inference_steps=num_inference_steps
             )
             return (x, key), None
 
-        (x, _), _ = jax.lax.scan(body, (x, key), timesteps)
+        xs = (timesteps, None if step_noises is None
+              else step_noises.astype(jnp.float32))
+        (x, _), _ = jax.lax.scan(body, (x, key), xs)
         return x
 
     return sample

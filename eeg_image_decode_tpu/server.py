@@ -34,6 +34,92 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+class _Coalescer:
+    """Dynamic request batching (leader–follower): while the device runs one
+    batch, arriving requests pile into ``_pending``; whichever thread next
+    wins the device lock drains the WHOLE compatible backlog, concatenates
+    the EEG rows, runs the service once, and demuxes per-request results.
+    Under C concurrent clients this turns C serial dispatches (p50 ≈ C ×
+    single-request latency — measured in docs/PERF.md r4) into ~1 batched
+    dispatch per device slot.
+
+    ``fn(eeg, subject_ids, **kw) → per-row result`` must be row-aligned
+    (the services' contract). Requests are only coalesced when their extra
+    kwargs (k / seed) match — mixed settings serve sequentially, each still
+    correct. ``max_rows`` bounds one drained batch (default: the service's
+    own ``max_batch`` chunking makes any bound safe, so it is a fairness
+    knob, not a correctness one).
+    """
+
+    def __init__(self, fn, device_lock: threading.Lock, *,
+                 max_rows: int = 4096):
+        self._fn = fn
+        self._device_lock = device_lock
+        self._max_rows = max_rows
+        self._mu = threading.Lock()
+        self._pending: list[dict] = []
+
+    def submit(self, eeg: np.ndarray, subject_ids: np.ndarray, **kw):
+        item = {
+            "eeg": eeg, "sids": subject_ids, "kw": kw,
+            "event": threading.Event(), "out": None, "err": None,
+        }
+        with self._mu:
+            self._pending.append(item)
+        with self._device_lock:
+            # drain FIFO groups until OUR item is served: an earlier leader
+            # may have batched it already (event set before we got the
+            # lock), and the last thread standing must never exit leaving
+            # its own (or anyone's reachable) group stranded
+            while not item["event"].is_set():
+                self._drain_as_leader()
+        if item["err"] is not None:
+            raise item["err"]
+        return item["out"]
+
+    def _drain_as_leader(self):
+        """Called WITH the device lock held: serve the oldest pending
+        group (same-kwargs prefix of the FIFO queue, bounded by max_rows)."""
+        with self._mu:
+            if not self._pending:
+                return
+            kw = self._pending[0]["kw"]
+            batch, rest, rows = [], [], 0
+            for it in self._pending:
+                fits = not batch or rows + it["eeg"].shape[0] <= self._max_rows
+                if it["kw"] == kw and fits:  # oversize requests ride alone
+                    batch.append(it)
+                    rows += it["eeg"].shape[0]
+                else:
+                    rest.append(it)
+            self._pending = rest
+        try:
+            eeg = np.concatenate([it["eeg"] for it in batch], axis=0)
+            sids = np.concatenate([it["sids"] for it in batch], axis=0)
+            out = self._fn(eeg, sids, **kw)
+            start = 0
+            for it in batch:
+                m = it["eeg"].shape[0]
+                it["out"] = _slice_rows(out, start, start + m)
+                start += m
+        except Exception as e:  # pragma: no cover - per-request error fanout
+            for it in batch:
+                it["err"] = e
+        finally:
+            for it in batch:
+                it["event"].set()
+
+
+def _slice_rows(out, lo: int, hi: int):
+    """Row-slice a service result: tuple of arrays, a single array, or a
+    list (captions)."""
+    if isinstance(out, tuple):
+        return tuple(np.asarray(o)[lo:hi] for o in out)
+    if isinstance(out, list):
+        return out[lo:hi]
+    return np.asarray(out)[lo:hi]
+
+
 class EEGDecodeServer:
     """Bundle of optional services behind one HTTP daemon.
 
@@ -42,13 +128,31 @@ class EEGDecodeServer:
     services return 404.
     """
 
-    def __init__(self, *, retrieval=None, reconstruction=None, caption=None):
+    def __init__(self, *, retrieval=None, reconstruction=None, caption=None,
+                 coalesce: bool = True):
         self.retrieval = retrieval
         self.reconstruction = reconstruction
         self.caption = caption
         self._device_lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        self.coalesce = coalesce
+        if coalesce:
+            # one coalescer per service; all share the single device lock
+            # (one chip executes one batch at a time — the batching happens
+            # in the queue that forms while it runs)
+            self._co = {
+                "retrieval": retrieval and _Coalescer(
+                    lambda e, s, k: self.retrieval.top_k(e, s, k=k),
+                    self._device_lock),
+                "reconstruction": reconstruction and _Coalescer(
+                    lambda e, s, seed: self.reconstruction.reconstruct(
+                        e, s, seed=seed),
+                    self._device_lock),
+                "caption": caption and _Coalescer(
+                    lambda e, s, seed: self.caption.caption(e, s, seed=seed),
+                    self._device_lock),
+            }
 
     # ——— request decoding ———
 
@@ -84,13 +188,18 @@ class EEGDecodeServer:
             if self.retrieval is None:
                 raise LookupError("retrieval service not configured")
             eeg, sids = self._require(req, "eeg", "subject_ids")
-            with self._device_lock:
-                scores, idx = self.retrieval.top_k(
-                    eeg, sids, k=int(req.get("k", 5))
-                )
+            eeg = np.asarray(eeg, np.float32)
+            sids = self._row_sids(eeg, sids)
+            k = int(req.get("k", 5))
+            if self.coalesce:
+                scores, idx = self._co["retrieval"].submit(eeg, sids, k=k)
+            else:
+                with self._device_lock:
+                    scores, idx = self.retrieval.top_k(eeg, sids, k=k)
             return (
                 json.dumps(
-                    {"scores": scores.tolist(), "indices": idx.tolist()}
+                    {"scores": np.asarray(scores).tolist(),
+                     "indices": np.asarray(idx).tolist()}
                 ).encode(),
                 "application/json",
             )
@@ -98,10 +207,15 @@ class EEGDecodeServer:
             if self.reconstruction is None:
                 raise LookupError("reconstruction service not configured")
             eeg, sids = self._require(req, "eeg", "subject_ids")
-            with self._device_lock:
-                imgs = self.reconstruction.reconstruct(
-                    eeg, sids, seed=int(req.get("seed", 0))
-                )
+            eeg = np.asarray(eeg, np.float32)
+            sids = self._row_sids(eeg, sids)
+            seed = int(req.get("seed", 0))
+            if self.coalesce:
+                imgs = self._co["reconstruction"].submit(eeg, sids, seed=seed)
+            else:
+                with self._device_lock:
+                    imgs = self.reconstruction.reconstruct(
+                        eeg, sids, seed=seed)
             buf = io.BytesIO()
             np.savez_compressed(buf, images=np.asarray(imgs, np.float32))
             return buf.getvalue(), "application/octet-stream"
@@ -109,15 +223,30 @@ class EEGDecodeServer:
             if self.caption is None:
                 raise LookupError("caption service not configured")
             eeg, sids = self._require(req, "eeg", "subject_ids")
-            with self._device_lock:
-                caps = self.caption.caption(
-                    eeg, sids, seed=int(req.get("seed", 0))
-                )
+            eeg = np.asarray(eeg, np.float32)
+            sids = self._row_sids(eeg, sids)
+            seed = int(req.get("seed", 0))
+            if self.coalesce:
+                caps = self._co["caption"].submit(eeg, sids, seed=seed)
+            else:
+                with self._device_lock:
+                    caps = self.caption.caption(eeg, sids, seed=seed)
             return (
-                json.dumps({"captions": caps}).encode(),
+                json.dumps({"captions": list(caps)}).encode(),
                 "application/json",
             )
         raise FileNotFoundError(route)
+
+    @staticmethod
+    def _row_sids(eeg: np.ndarray, sids) -> np.ndarray:
+        """Validate + materialize per-row subject ids BEFORE coalescing: a
+        scalar id must not broadcast over someone else's rows in a merged
+        batch, and a malformed request must 400 at the door instead of
+        poisoning the whole coalesced dispatch it would ride in."""
+        from eeg_image_decode_tpu.serve import _check_request
+
+        _, sids = _check_request(eeg, sids)
+        return sids
 
     # ——— daemon plumbing ———
 

@@ -38,6 +38,30 @@ class PriorState(struct.PyTreeNode):
     opt_state: Any
 
 
+def _make_prior_optimizer(cfg: PriorConfig, total_steps: int):
+    """Adam + warmup(500)-cosine + global-norm clip 1.0 — the reference
+    ``Pipe.train`` optimizer (``Generation/diffusion_prior.py:285-293``).
+
+    The reference calls ``lr_scheduler.step()`` BEFORE ``optimizer.step()``
+    (``:328-330``), so its k-th update (0-indexed) runs at λ(k+1) — in
+    particular the FIRST step already moves at lr·1/warmup instead of 0.
+    The schedule is evaluated at ``count + 1`` to reproduce that order
+    exactly (pinned by the prior trajectory-parity rehearsal,
+    ``scripts/parity_prior_trajectory.py``).
+    """
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.lr,
+        warmup_steps=cfg.warmup_steps,
+        decay_steps=max(total_steps, cfg.warmup_steps + 1),
+        end_value=0.0,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.adam(lambda count: schedule(count + 1)),
+    )
+
+
 class PriorPipe:
     """Train + sample wrapper around DiffusionPriorUNet (the reference's
     ``Pipe``)."""
@@ -78,17 +102,7 @@ class PriorPipe:
         variables = self.model.init(
             jax.random.key(cfg.seed if seed is None else seed), x, t, c, m
         )
-        schedule = optax.warmup_cosine_decay_schedule(
-            init_value=0.0,
-            peak_value=cfg.lr,
-            warmup_steps=cfg.warmup_steps,
-            decay_steps=max(total_steps, cfg.warmup_steps + 1),
-            end_value=0.0,
-        )
-        self.tx = optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip_norm),
-            optax.adam(schedule),
-        )
+        self.tx = _make_prior_optimizer(cfg, total_steps)
         self.state = PriorState(
             step=jnp.zeros((), jnp.int32),
             params=variables["params"],
@@ -106,17 +120,7 @@ class PriorPipe:
         loaded prior would run the LR schedule of a 1-step job — warm up,
         then decay to zero almost immediately."""
         cfg = self.cfg
-        schedule = optax.warmup_cosine_decay_schedule(
-            init_value=0.0,
-            peak_value=cfg.lr,
-            warmup_steps=cfg.warmup_steps,
-            decay_steps=max(total_steps, cfg.warmup_steps + 1),
-            end_value=0.0,
-        )
-        self.tx = optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip_norm),
-            optax.adam(schedule),
-        )
+        self.tx = _make_prior_optimizer(cfg, total_steps)
         self.state = self.state.replace(
             step=jnp.zeros((), jnp.int32),
             opt_state=self.tx.init(self.state.params),
@@ -177,6 +181,71 @@ class PriorPipe:
         from eeg_image_decode_tpu.core.mesh import dp_epoch_jit
 
         return dp_epoch_jit(epoch_fn, self.mesh, n_args=5, perm_index=3)
+
+    def train_epoch_injected(
+        self,
+        c_all: jax.Array,
+        h_all: jax.Array,
+        perm: jax.Array,  # (n_steps, B) int32
+        noise: jax.Array,  # (n_steps, B, embed_dim)
+        timesteps: jax.Array,  # (n_steps, B) int32
+        keep: jax.Array,  # (n_steps,) float — per-BATCH cond keep flags
+    ):
+        """One epoch with every stochastic input drawn EXTERNALLY — the
+        trajectory-parity hook: feed the exact noise / timesteps / per-batch
+        cond-dropout decisions the reference's ``Pipe.train`` drew
+        (``Generation/diffusion_prior.py:303-313``; per-batch
+        ``torch.rand(1) < 0.1``, ``randn_like``, ``randint``) and the two
+        trainers must walk the same loss curve
+        (``scripts/parity_prior_trajectory.py``). Deterministic forward
+        (MLP dropout is 0.0 in the reference config). Returns
+        ``(per-step losses,)`` alongside the updated state, which is stored
+        on the pipe."""
+        assert self.state is not None, "init() the pipe first"
+        if not hasattr(self, "_injected_epoch_fn"):
+            cfg, model, schedule, tx = (
+                self.cfg, self.model, self.schedule, self.tx,
+            )
+
+            def loss_fn(params, h, c, t, eps_target, cond_mask):
+                noisy = schedule.add_noise(h, eps_target, t)
+                eps = model.apply(
+                    {"params": params}, noisy, t, c, cond_mask,
+                    deterministic=True,
+                )
+                return jnp.mean((eps.astype(jnp.float32) - eps_target) ** 2)
+
+            def train_step(state, batch, c_all, h_all):
+                idx, eps_target, t, keep_s = batch
+                h = jnp.take(h_all, idx, axis=0)
+                c = jnp.take(c_all, idx, axis=0)
+                cond_mask = jnp.full((h.shape[0],), keep_s, jnp.float32)
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    state.params, h, c, t, eps_target, cond_mask
+                )
+                updates, new_opt = tx.update(
+                    grads, state.opt_state, state.params
+                )
+                new_params = optax.apply_updates(state.params, updates)
+                return (
+                    state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt),
+                    loss,
+                )
+
+            def epoch_fn(state, c_all, h_all, perm, noise, t, keep):
+                step = partial(train_step, c_all=c_all, h_all=h_all)
+                return jax.lax.scan(step, state, (perm, noise, t, keep))
+
+            self._injected_epoch_fn = jax.jit(epoch_fn, donate_argnums=(0,))
+        self.state, losses = self._injected_epoch_fn(
+            self.state, jnp.asarray(c_all, jnp.float32),
+            jnp.asarray(h_all, jnp.float32), jnp.asarray(perm, jnp.int32),
+            jnp.asarray(noise, jnp.float32),
+            jnp.asarray(timesteps, jnp.int32),
+            jnp.asarray(keep, jnp.float32),
+        )
+        return np.asarray(losses)
 
     # — training —
     def train(

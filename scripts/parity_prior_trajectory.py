@@ -1,0 +1,353 @@
+"""Diffusion-prior training-TRAJECTORY parity vs the reference's OWN
+``Pipe.train`` (``/root/reference/Generation/diffusion_prior.py:282-338``).
+
+Unlike the contrastive rehearsal (``scripts/parity_trajectory.py``), the
+torch side here is NOT a re-implemented twin: the reference module itself is
+imported (heavy unused deps shimmed — ``tests/_reference_import.py``; the
+only re-implemented pieces are the parameter-free diffusers helpers it pulls
+in: Timesteps, TimestepEmbedding, DDPMScheduler at stock settings,
+get_cosine_schedule_with_warmup) and its real train loop runs unmodified.
+
+Shared-randomness recipe: every stochastic input of ``Pipe.train`` — the
+per-batch ``torch.rand(1) < 0.1`` cond dropout, ``randn_like`` ε targets,
+``randint`` timesteps — is pre-drawn once and fed to BOTH sides (the torch
+side via scoped monkeypatches of exactly those three draw functions; the
+JAX side via ``PriorPipe.train_epoch_injected``). Both start from the SAME
+converted init and identical batch orders. Asserted:
+
+1. per-epoch ε-MSE curves match to < 1e-4 relative (fp32 drift only),
+2. FINAL parameters match elementwise (export_diffusion_prior vs the torch
+   state_dict) to < 1e-4 absolute,
+3. sampled embeddings from the reference's real ``Pipe.generate`` CFG loop
+   match ``make_cfg_sampler`` under a shared noise trajectory.
+
+Reference semantics pinned: Adam 1e-3, 500-step linear warmup + cosine (the
+scheduler is stepped BEFORE optimizer.step, so update k runs at λ(k+1) —
+mirrored by ``train/prior.py::_make_prior_optimizer``), grad-clip 1.0,
+ε-MSE, DDPM add_noise, per-batch 10% cond dropout.
+
+The pytest variant (``tests/test_prior_trajectory_parity.py``) runs a
+shortened configuration of this same code. Commit interesting runs to
+docs/PARITY.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+
+def make_data(n, embed_dim, cond_dim, seed):
+    """Correlated (EEG-feature, CLIP-embedding) pairs — h carries class
+    structure, c is a noisy linear view of h, so the ε-MSE objective has
+    signal to descend (mirrors EmbeddingDataset's aligned pairs)."""
+    rng = np.random.default_rng(seed)
+    h = rng.normal(size=(n, embed_dim)).astype(np.float32)
+    h /= np.linalg.norm(h, axis=1, keepdims=True)
+    mix = rng.normal(size=(embed_dim, cond_dim)).astype(np.float32)
+    c = h @ mix / np.sqrt(embed_dim)
+    c += 0.1 * rng.normal(size=c.shape).astype(np.float32)
+    return c.astype(np.float32), h
+
+
+def draw_shared_randomness(epochs, n_steps, batch, embed_dim,
+                           num_train_timesteps, seed):
+    """Pre-draw every stochastic input of Pipe.train, in ITS order."""
+    rng = np.random.default_rng(seed + 1)
+    rand_vals = rng.uniform(size=(epochs, n_steps)).astype(np.float32)
+    noises = rng.normal(
+        size=(epochs, n_steps, batch, embed_dim)).astype(np.float32)
+    tsteps = rng.integers(
+        0, num_train_timesteps, size=(epochs, n_steps, batch)
+    ).astype(np.int64)
+    return rand_vals, noises, tsteps
+
+
+class _PermLoader:
+    """Dataloader stand-in: len() = steps/epoch; each __iter__ call yields
+    the NEXT epoch's batches (so the same object drives Pipe.train's
+    epochs-loop with per-epoch orders shared with the JAX side)."""
+
+    def __init__(self, c, h, perms):
+        import torch
+
+        self._c = torch.tensor(c)
+        self._h = torch.tensor(h)
+        self._perms = perms
+        self._epoch = 0
+
+    def __len__(self):
+        return self._perms.shape[1]
+
+    def __iter__(self):
+        perm = self._perms[min(self._epoch, len(self._perms) - 1)]
+        self._epoch += 1
+        for idx in perm:
+            yield {"c_embedding": self._c[idx], "h_embedding": self._h[idx]}
+
+
+@contextlib.contextmanager
+def patched_draws(rand_vals, noises, tsteps):
+    """Scoped monkeypatch of the three torch draw functions Pipe.train
+    calls, feeding the pre-drawn arrays in call order."""
+    import torch
+
+    state = {"rand": 0, "noise": 0, "randint": 0}
+    flat_rand = rand_vals.reshape(-1)
+    flat_noise = noises.reshape(-1, *noises.shape[2:])
+    flat_t = tsteps.reshape(-1, tsteps.shape[-1])
+    orig = (torch.rand, torch.randn_like, torch.randint)
+
+    def fake_rand(*shape, **kw):
+        i = state["rand"]; state["rand"] += 1
+        return torch.tensor([flat_rand[i]])
+
+    def fake_randn_like(x, **kw):
+        i = state["noise"]; state["noise"] += 1
+        return torch.tensor(flat_noise[i])
+
+    def fake_randint(low, high, size, **kw):
+        i = state["randint"]; state["randint"] += 1
+        return torch.tensor(flat_t[i])
+
+    torch.rand, torch.randn_like, torch.randint = (
+        fake_rand, fake_randn_like, fake_randint)
+    try:
+        yield state
+    finally:
+        torch.rand, torch.randn_like, torch.randint = orig
+
+
+def run_torch(ref, c, h, perms, cfgd, rand_vals, noises, tsteps, seed):
+    """The reference's real Pipe.train on its real DiffusionPriorUNet."""
+    import torch
+
+    torch.manual_seed(seed)
+    model = ref.DiffusionPriorUNet(
+        embed_dim=cfgd["embed_dim"], cond_dim=cfgd["cond_dim"],
+        hidden_dim=list(cfgd["hidden_dims"]),
+        time_embed_dim=cfgd["time_embed_dim"], dropout=0.0,
+    )
+    init_sd = {k: v.detach().clone() for k, v in model.state_dict().items()}
+    from _reference_import import _install_diffusers_shim  # scheduler shim
+    _install_diffusers_shim()
+    import diffusers
+
+    pipe = ref.Pipe(diffusion_prior=model,
+                    scheduler=diffusers.DDPMScheduler(), device="cpu")
+    loader = _PermLoader(c, h, perms)
+    buf = io.StringIO()
+    with patched_draws(rand_vals, noises, tsteps):
+        with contextlib.redirect_stdout(buf):
+            pipe.train(loader, num_epochs=len(perms), learning_rate=cfgd["lr"])
+    losses = [float(line.rsplit("loss:", 1)[1])
+              for line in buf.getvalue().splitlines() if "loss:" in line]
+    return init_sd, losses, model
+
+
+def run_jax(init_sd, c, h, perms, cfgd, rand_vals, noises, tsteps):
+    """Our PriorPipe from the converted init, injected randomness."""
+    from eeg_image_decode_tpu.core.config import PriorConfig
+    from eeg_image_decode_tpu.models.diffusion_prior import (
+        convert_diffusion_prior,
+    )
+    from eeg_image_decode_tpu.train.prior import PriorPipe
+
+    cfg = PriorConfig(
+        embed_dim=cfgd["embed_dim"], cond_dim=cfgd["cond_dim"],
+        hidden_dims=tuple(cfgd["hidden_dims"]),
+        time_embed_dim=cfgd["time_embed_dim"], lr=cfgd["lr"],
+        warmup_steps=500, num_train_timesteps=1000,
+    )
+    pipe = PriorPipe(cfg)
+    n_steps = perms.shape[1]
+    pipe.init(total_steps=n_steps * len(perms))
+    pipe.state = pipe.state.replace(
+        params=convert_diffusion_prior(init_sd))
+    keep = (rand_vals >= 0.1).astype(np.float32)  # ref :303 torch.rand<0.1
+    losses = []
+    for e in range(len(perms)):
+        step_losses = pipe.train_epoch_injected(
+            c, h, perms[e], noises[e], tsteps[e], keep[e])
+        losses.append(float(np.mean(step_losses)))
+    return losses, pipe
+
+
+def generate_parity(ref, pipe, t_model, c, cfgd, steps=10, scale=5.0,
+                    seed=0):
+    """Shared-trajectory sampling parity: the reference's real
+    Pipe.generate (N=1 — its ``t.long().item()`` only supports single-
+    sample batches) vs make_cfg_sampler with injected noise.
+
+    Both samplers run the SAME weights (the trained torch state_dict,
+    converted) — the trained-parameter drift is compared separately
+    (max_param_diff); folding it in here would measure chaotic
+    amplification through 1/√ᾱ_t ≈ 72 at t=900 and ×(2g−1) CFG instead of
+    sampler equivalence."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu.models.diffusion_prior import (
+        convert_diffusion_prior,
+    )
+    from eeg_image_decode_tpu.ops.ddpm import make_cfg_sampler
+
+    shared_params = convert_diffusion_prior(
+        {k: v.detach().numpy() for k, v in t_model.state_dict().items()})
+
+    rng = np.random.default_rng(seed + 2)
+    init_noise = rng.normal(size=(1, cfgd["embed_dim"])).astype(np.float32)
+    step_noises = rng.normal(
+        size=(steps, 1, cfgd["embed_dim"])).astype(np.float32)
+
+    import diffusers
+    sched = diffusers.DDPMScheduler()
+    sched.inject_step_noise([step_noises[i] for i in range(steps)])
+    tpipe = ref.Pipe(diffusion_prior=t_model, scheduler=sched, device="cpu")
+    c1 = torch.tensor(c[:1])
+    orig_randn = torch.randn
+    torch.randn = lambda *a, **k: torch.tensor(init_noise)
+    try:
+        with torch.no_grad():
+            want = tpipe.generate(c_embeds=c1, num_inference_steps=steps,
+                                  guidance_scale=scale).numpy()
+    finally:
+        torch.randn = orig_randn
+
+    def denoise(x, t, cond, cond_mask):
+        return pipe.model.apply({"params": shared_params}, x, t, cond,
+                                cond_mask, deterministic=True)
+
+    sampler = make_cfg_sampler(denoise, pipe.schedule,
+                               num_inference_steps=steps,
+                               guidance_scale=scale)
+    got = np.asarray(sampler(
+        jax.random.key(0), jnp.asarray(c[:1]), (1, cfgd["embed_dim"]),
+        jnp.asarray(init_noise), jnp.asarray(step_noises),
+    ))
+    return got, want
+
+
+def prior_trajectory_parity(n=512, batch=64, epochs=50, embed_dim=64,
+                            cond_dim=48, hidden_dims=(64, 48, 32),
+                            time_embed_dim=32, lr=1e-3, seed=0, log=print):
+    """Shared by the script and ``tests/test_prior_trajectory_parity.py``."""
+    from _reference_import import import_reference_diffusion_prior
+    from eeg_image_decode_tpu.models.diffusion_prior import (
+        export_diffusion_prior,
+    )
+
+    ref = import_reference_diffusion_prior()
+    cfgd = dict(embed_dim=embed_dim, cond_dim=cond_dim,
+                hidden_dims=hidden_dims, time_embed_dim=time_embed_dim,
+                lr=lr)
+    c, h = make_data(n, embed_dim, cond_dim, seed)
+    n_steps = n // batch
+    rng = np.random.default_rng(seed)
+    perms = np.stack([
+        rng.permutation(n)[: n_steps * batch].reshape(n_steps, batch)
+        for _ in range(epochs)
+    ]).astype(np.int64)
+    rand_vals, noises, tsteps = draw_shared_randomness(
+        epochs, n_steps, batch, embed_dim, 1000, seed)
+
+    t0 = time.perf_counter()
+    init_sd, t_losses, t_model = run_torch(
+        ref, c, h, perms, cfgd, rand_vals, noises, tsteps, seed)
+    t_torch = time.perf_counter() - t0
+    log(f"torch (reference Pipe.train): {epochs} epochs in {t_torch:.1f}s, "
+        f"final loss {t_losses[-1]:.6f}")
+
+    t0 = time.perf_counter()
+    j_losses, pipe = run_jax(
+        init_sd, c, h, perms, cfgd, rand_vals, noises, tsteps)
+    t_jax = time.perf_counter() - t0
+    log(f"jax (PriorPipe injected): {epochs} epochs in {t_jax:.1f}s, "
+        f"final loss {j_losses[-1]:.6f}")
+
+    rel = [abs(a - b) / max(abs(b), 1e-8)
+           for a, b in zip(j_losses, t_losses)]
+
+    # final params elementwise
+    import jax as _jax
+    sd_out = export_diffusion_prior(_jax.device_get(pipe.state.params))
+    t_sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+    max_pdiff = max(
+        float(np.max(np.abs(np.asarray(sd_out[k]) - t_sd[k])))
+        for k in t_sd
+    )
+
+    got, want = generate_parity(ref, pipe, t_model, c, cfgd, seed=seed)
+    gen_diff = float(np.max(np.abs(got - want)))
+    return {
+        "jax_losses": j_losses, "torch_losses": t_losses,
+        "rel_loss_dev": rel, "max_param_diff": max_pdiff,
+        "gen_max_diff": gen_diff, "gen_scale": float(np.max(np.abs(want))),
+        "jax_time_s": t_jax, "torch_time_s": t_torch,
+    }
+
+
+def main():
+    # cross-FRAMEWORK parity is a CPU-vs-CPU statement: on TPU, jax's
+    # default f32 matmul precision (bf16 passes on the MXU) adds ~1e-3
+    # relative per matmul, which 1/√ᾱ_t ≈ 72 at t=900 amplifies to ~1e-2
+    # in the sampling loop — that is precision policy, not semantics
+    # (measured: same run TPU 1.5e-2 vs CPU 1.3e-4 max sample |Δ|)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--n", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--embed-dim", type=int, default=64)
+    ap.add_argument("--cond-dim", type=int, default=48)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    res = prior_trajectory_parity(
+        n=args.n, batch=args.batch, epochs=args.epochs,
+        embed_dim=args.embed_dim, cond_dim=args.cond_dim, seed=args.seed)
+
+    print(f"\n### Prior trajectory parity ({args.epochs} epochs × "
+          f"{args.n // args.batch} steps, bs {args.batch}, "
+          f"D={args.embed_dim})\n")
+    print("| epoch | jax ε-MSE | torch ε-MSE (reference Pipe.train) "
+          "| rel dev |")
+    print("|---|---|---|---|")
+    idxs = sorted(set([0, 1, 2] + list(range(4, args.epochs, 5))
+                      + [args.epochs - 1]))
+    for e in idxs:
+        if e < len(res["jax_losses"]):
+            print(f"| {e} | {res['jax_losses'][e]:.6f} | "
+                  f"{res['torch_losses'][e]:.6f} | "
+                  f"{res['rel_loss_dev'][e]:.2e} |")
+    print(f"\nmax relative loss deviation: {max(res['rel_loss_dev']):.2e}")
+    print(f"final-param max |Δ| (export vs torch): "
+          f"{res['max_param_diff']:.2e}")
+    print(f"CFG sample max |Δ| (shared trajectory, 10 steps, g=5.0): "
+          f"{res['gen_max_diff']:.2e} on magnitude "
+          f"{res['gen_scale']:.2f}")
+
+    assert max(res["rel_loss_dev"]) < 1e-4, res["rel_loss_dev"]
+    assert res["max_param_diff"] < 1e-4, res["max_param_diff"]
+    assert res["gen_max_diff"] < 1e-3 * max(res["gen_scale"], 1.0), (
+        res["gen_max_diff"])
+    print("\nprior trajectory parity PASS")
+
+
+if __name__ == "__main__":
+    main()

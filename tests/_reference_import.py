@@ -25,6 +25,8 @@ import math
 import sys
 import types
 
+import numpy as np
+
 REFERENCE = "/root/reference"
 
 
@@ -114,19 +116,117 @@ def _install_diffusers_shim():
         def forward(self, sample):
             return self.linear_2(self.act(self.linear_1(sample)))
 
+    class _SchedulerOutput:
+        def __init__(self, prev_sample):
+            self.prev_sample = prev_sample
+
+    class DDPMScheduler:
+        """diffusers ``DDPMScheduler()`` at stock settings, re-implemented
+        at source fidelity (linear betas 1e-4→0.02 over 1000 steps,
+        ε-prediction, fixed_small variance, clip_sample=True range 1.0) so
+        the reference's ``Pipe.train``/``Pipe.generate`` run unmodified.
+        ``inject_step_noise`` queues the ancestral-step variance draws for
+        shared-trajectory sampling parity."""
+
+        class config:
+            num_train_timesteps = 1000
+
+        def __init__(self):
+            T = self.config.num_train_timesteps
+            self.betas = torch.linspace(1e-4, 0.02, T, dtype=torch.float32)
+            self.alphas = 1.0 - self.betas
+            self.alphas_cumprod = torch.cumprod(self.alphas, dim=0)
+            self.timesteps = torch.arange(T - 1, -1, -1)
+            self.num_inference_steps = T
+            self._noise_queue: list | None = None
+
+        def inject_step_noise(self, noises):
+            self._noise_queue = list(noises)
+
+        def add_noise(self, original_samples, noise, timesteps):
+            ac = self.alphas_cumprod.to(original_samples.device)[timesteps]
+            while ac.dim() < original_samples.dim():
+                ac = ac.unsqueeze(-1)
+            return (ac.sqrt() * original_samples
+                    + (1.0 - ac).sqrt() * noise)
+
+        def set_timesteps(self, num_inference_steps, device=None):
+            T = self.config.num_train_timesteps
+            ratio = T // num_inference_steps
+            ts = (np.arange(0, num_inference_steps) * ratio).round()[::-1]
+            self.timesteps = torch.from_numpy(ts.copy().astype(np.int64))
+            self.num_inference_steps = num_inference_steps
+
+        def step(self, model_output, timestep, sample, generator=None):
+            t = int(timestep)
+            ratio = (self.config.num_train_timesteps
+                     // self.num_inference_steps)
+            prev_t = t - ratio
+            ac_t = self.alphas_cumprod[t]
+            ac_prev = (self.alphas_cumprod[prev_t] if prev_t >= 0
+                       else torch.tensor(1.0))
+            beta_prod_t = 1.0 - ac_t
+            current_alpha = ac_t / ac_prev
+            current_beta = 1.0 - current_alpha
+            x0 = (sample - beta_prod_t.sqrt() * model_output) / ac_t.sqrt()
+            x0 = x0.clamp(-1.0, 1.0)  # clip_sample=True default
+            c0 = ac_prev.sqrt() * current_beta / beta_prod_t
+            ct = current_alpha.sqrt() * (1.0 - ac_prev) / beta_prod_t
+            mean = c0 * x0 + ct * sample
+            if t > 0:
+                var = ((1.0 - ac_prev) / beta_prod_t * current_beta).clamp(
+                    min=1e-20)
+                if self._noise_queue is not None:
+                    noise = torch.as_tensor(self._noise_queue.pop(0),
+                                            dtype=sample.dtype)
+                else:
+                    noise = torch.randn(sample.shape, generator=generator,
+                                        dtype=sample.dtype)
+                mean = mean + var.sqrt() * noise
+            return _SchedulerOutput(mean)
+
+    def get_cosine_schedule_with_warmup(optimizer, num_warmup_steps,
+                                        num_training_steps, num_cycles=0.5,
+                                        last_epoch=-1):
+        """diffusers.optimization.get_cosine_schedule_with_warmup, exact
+        formula (linear 0→1 over warmup, cosine 1→0 after)."""
+        from torch.optim.lr_scheduler import LambdaLR
+
+        def lr_lambda(current_step):
+            if current_step < num_warmup_steps:
+                return float(current_step) / float(max(1, num_warmup_steps))
+            progress = (float(current_step - num_warmup_steps)
+                        / float(max(1, num_training_steps
+                                    - num_warmup_steps)))
+            return max(0.0, 0.5 * (1.0 + math.cos(
+                math.pi * float(num_cycles) * 2.0 * progress)))
+
+        return LambdaLR(optimizer, lr_lambda, last_epoch)
+
+    def retrieve_timesteps(scheduler, num_inference_steps=None, device=None,
+                           timesteps=None, **kwargs):
+        if timesteps is not None:
+            scheduler.timesteps = timesteps
+            return timesteps, len(timesteps)
+        scheduler.set_timesteps(num_inference_steps, device=device)
+        return scheduler.timesteps, num_inference_steps
+
     diffusers = _stub("diffusers")
     dmodels = _stub("diffusers.models")
     demb = _stub("diffusers.models.embeddings", Timesteps=Timesteps,
                  TimestepEmbedding=TimestepEmbedding)
     dmodels.embeddings = demb
     diffusers.models = dmodels
-    # diffusion_prior.py also imports DDPMScheduler and utils at module level
-    _stub("diffusers.schedulers", )
-    try:  # only the names need to resolve; training loop classes unused
-        import diffusers as real  # noqa: F401
-    except Exception:
-        pass
-    _stub("diffusers", models=dmodels, DDPMScheduler=object)
+    _stub("diffusers.schedulers", DDPMScheduler=DDPMScheduler)
+    _stub("diffusers.optimization",
+          get_cosine_schedule_with_warmup=get_cosine_schedule_with_warmup)
+    _stub("diffusers.pipelines")
+    _stub("diffusers.pipelines.stable_diffusion_xl")
+    _stub("diffusers.pipelines.stable_diffusion_xl."
+          "pipeline_stable_diffusion_xl",
+          retrieve_timesteps=retrieve_timesteps)
+    _stub("diffusers", models=dmodels, DDPMScheduler=DDPMScheduler,
+          AutoencoderKL=object)
 
 
 def _load(path: str, modname: str):
@@ -157,3 +257,68 @@ def import_reference_diffusion_prior():
     _install_diffusers_shim()
     return _load(f"{REFERENCE}/Generation/diffusion_prior.py",
                  "_ref_diffusion_prior")
+
+
+def import_reference_lowlevel():
+    """→ the executed module for
+    Generation/train_vae_latent_512_low_level_no_average.py.
+
+    That file loads the full SDXL pipeline AT MODULE LEVEL
+    (``DiffusionPipeline.from_pretrained`` at :58) purely to hold a frozen
+    VAE for training-time preview decodes; the shim pipeline carries an
+    identity "VAE" so the module executes without weights/network and the
+    preview branch (``:309-323``) stays a no-op. It also imports a
+    ``layers`` package that does not exist anywhere in the reference repo
+    (broken upstream import — the classes are never used by
+    ``encoder_low_level``); stubbed likewise.
+    """
+    import torch
+    import torch.nn as nn
+
+    _install_common_shims()
+    _install_diffusers_shim()
+
+    class _Decoded:
+        def __init__(self, sample):
+            self.sample = sample
+
+    class _FakeVAE(nn.Module):
+        def decode(self, z):
+            return _Decoded(z)
+
+    class _FakePipe:
+        vae = _FakeVAE()
+
+    class _DiffusionPipeline:
+        @staticmethod
+        def from_pretrained(*a, **k):
+            return _FakePipe()
+
+    class _NoopImage:
+        def save(self, *a, **k):
+            pass
+
+    class _VaeImageProcessor:
+        def postprocess(self, x, output_type=None):
+            return [_NoopImage() for _ in range(x.shape[0])]
+
+    sys.modules["diffusers.pipelines.stable_diffusion_xl."
+                "pipeline_stable_diffusion_xl"].DiffusionPipeline = (
+        _DiffusionPipeline)
+    _stub("diffusers.utils", load_image=None)
+    _stub("diffusers.image_processor", VaeImageProcessor=_VaeImageProcessor)
+    _stub("IPython")
+    _stub("IPython.display", display=lambda *a, **k: None)
+    _stub("eegdatasets_leaveone_latent_vae_no_average", EEGDataset=object)
+    for name, attrs in (
+        ("layers", {}),
+        ("layers.Transformer_EncDec", dict(Encoder=object,
+                                           EncoderLayer=object)),
+        ("layers.SelfAttention_Family", dict(FullAttention=object,
+                                             AttentionLayer=object)),
+        ("layers.Embed", dict(DataEmbedding_inverted=object)),
+    ):
+        _stub(name, **attrs)
+    return _load(
+        f"{REFERENCE}/Generation/train_vae_latent_512_low_level_no_average.py",
+        "_ref_lowlevel")

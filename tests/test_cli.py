@@ -270,6 +270,35 @@ def test_cli_generate_semantic_recombination(tmp_path):
     for i in range(3):
         assert (out / f"class_{i:04d}" / "0.png").exists()
 
+    # --resolution scales the latent grid (the reference's 1024² stage,
+    # scaled to tiny: default 16px → 32px means 16×16 latents) and the
+    # output pixels; init latents at the OLD size must be refused clearly
+    from PIL import Image
+
+    out2 = tmp_path / "imgs_hi"
+    cli.main([
+        "generate", "--eeg-features", str(feats),
+        "--prior-params", str(prior_file), "--tiny",
+        "--resolution", "32",
+        "--output-dir", str(out2), "--seeds", "1", "--gen-batch", "2",
+    ])
+    im = Image.open(out2 / "class_0000" / "0.png")
+    assert im.size == (32, 32), im.size
+    with pytest.raises(SystemExit, match="latent size"):
+        cli.main([
+            "generate", "--eeg-features", str(feats),
+            "--prior-params", str(prior_file), "--tiny",
+            "--resolution", "32", "--init-latents", str(lat),
+            "--output-dir", str(out2), "--seeds", "1", "--gen-batch", "2",
+        ])
+    with pytest.raises(SystemExit, match="multiple of"):
+        cli.main([
+            "generate", "--eeg-features", str(feats),
+            "--prior-params", str(prior_file), "--tiny",
+            "--resolution", "33",
+            "--output-dir", str(out2), "--seeds", "1",
+        ])
+
 
 def test_cli_generate_reference_layout_and_metrics_interop(tmp_path, capsys):
     """``generate --class-names --sub`` writes the reference's

@@ -179,3 +179,103 @@ def _err_status(url, body, ctype="application/json"):
         return 200
     except urllib.error.HTTPError as e:
         return e.code
+
+
+def test_coalescer_batches_and_demuxes():
+    """The leader–follower coalescer merges a queued backlog into fewer
+    device dispatches while every request still gets exactly its own rows;
+    incompatible kwargs and oversize requests serve separately; a failing
+    batch fans its error out to every member."""
+    import threading
+    import time
+
+    from eeg_image_decode_tpu.server import _Coalescer
+
+    calls = []
+    lock = threading.Lock()
+
+    def fn(eeg, sids, k):
+        calls.append(eeg.shape[0])
+        time.sleep(0.05)  # device-time stand-in: lets a backlog form
+        if k == 99:
+            raise RuntimeError("boom")
+        # row-aligned result: (rows, k) built from the row's own value
+        return eeg[:, 0, 0][:, None] * np.ones((1, k)), sids * 2
+
+    co = _Coalescer(fn, lock, max_rows=64)
+
+    def one(i, rows, k):
+        eeg = np.full((rows, 2, 3), float(i), np.float32)
+        sids = np.full((rows,), i, np.int32)
+        scores, s2 = co.submit(eeg, sids, k=k)
+        assert scores.shape == (rows, k)
+        np.testing.assert_array_equal(scores[:, 0], np.full(rows, float(i)))
+        np.testing.assert_array_equal(s2, sids * 2)
+        return rows
+
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(12) as ex:
+        futs = [ex.submit(one, i, 1 + i % 3, 4) for i in range(12)]
+        assert sum(f.result() for f in futs) == sum(1 + i % 3
+                                                    for i in range(12))
+    # coalescing happened: fewer dispatches than requests
+    assert len(calls) < 12, calls
+    assert sum(calls) == sum(1 + i % 3 for i in range(12))
+
+    # mixed kwargs never merge
+    calls.clear()
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        futs = [ex.submit(one, i, 2, 2 + i % 2) for i in range(4)]
+        [f.result() for f in futs]
+    assert sum(calls) == 8
+
+    # oversize request rides alone (max_rows)
+    co_small = _Coalescer(fn, lock, max_rows=4)
+    out, _ = co_small.submit(np.full((9, 2, 3), 7.0, np.float32),
+                             np.zeros(9, np.int32), k=3)
+    assert out.shape == (9, 3)
+
+    # error fanout: every member of a failing batch gets the exception
+    import pytest
+
+    with pytest.raises(RuntimeError, match="boom"):
+        co.submit(np.zeros((2, 2, 3), np.float32), np.zeros(2, np.int32),
+                  k=99)
+
+
+def test_coalesced_retrieval_matches_serial():
+    """Concurrent mixed-size retrieve requests through the coalescing
+    server return byte-identical answers to direct serial service calls
+    (retrieval is deterministic, so coalescing must be invisible)."""
+    import concurrent.futures
+
+    model, trainer, test = _trained()
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    retrieval = RetrievalService(model, variables,
+                                 test.class_img_features(), max_batch=8)
+    server = EEGDecodeServer(retrieval=retrieval)  # coalesce=True default
+    port = server.start()
+    base = f"http://127.0.0.1:{port}"
+    sizes = [1, 3, 2, 4, 1, 5, 2, 3]
+    try:
+        def one(i):
+            rows = sizes[i]
+            b = json.dumps({"eeg": test.eeg[i:i + rows].tolist(),
+                            "subject_ids": [1] * rows, "k": 3}).encode()
+            s, _, o = _post(f"{base}/v1/retrieve", b, "application/json")
+            assert s == 200
+            return i, json.loads(o)
+
+        with concurrent.futures.ThreadPoolExecutor(8) as ex:
+            results = dict(ex.map(one, range(8)))
+        for i, resp in results.items():
+            rows = sizes[i]
+            s_direct, i_direct = retrieval.top_k(
+                test.eeg[i:i + rows], np.full(rows, 1), k=3)
+            np.testing.assert_allclose(resp["scores"], s_direct, rtol=1e-5,
+                                       atol=1e-5)
+            np.testing.assert_array_equal(resp["indices"], i_direct)
+    finally:
+        server.stop()
