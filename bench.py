@@ -11,19 +11,37 @@ Data is synthetic with identical shapes (EEG values don't change FLOPs) and is
 generated directly in HBM with the device PRNG, the same whole-dataset-
 resident layout the trainer uses on real data.
 
-``vs_baseline`` compares training samples/sec against the reference
-implementation's estimated A100 throughput. Provenance of that denominator
-(the reference publishes no throughput numbers):
+``vs_baseline`` compares training samples/sec against a DEFENSIBLE BOUND
+on the reference implementation's A100 throughput (the reference publishes
+no numbers). Provenance of the denominator — derived, not folklore
+(``scripts/bench_a100_band.py``, replacing rounds 1-4's "~500× a CPU
+anchor" multiplier):
 
-- MEASURED same-env anchor: a torch reimplementation of the identical
-  workload (``scripts/bench_torch_baseline.py`` — same shapes, loss, and the
-  reference loop's per-batch ``.item()`` syncs) runs at **21.2 samples/s**
-  on this machine's single CPU core (torch 2.x, 1 thread).
-- The A100 figure scales that anchor by ~500× (a typical single-CPU-core →
-  A100 ratio for small-conv/matmul training at this arithmetic intensity),
-  giving ≈10k samples/s — consistent with round 1's profiling-based
-  estimate. It remains an estimate; the measured CPU anchor is the
-  reproducible part, so it is reported alongside.
+- the reference training step was profiled with ``torch.profiler`` on the
+  identical workload twin: **915 dispatched aten ops/step** (each ≥1 CUDA
+  launch in eager mode), **205 GFLOP/step** (profiler ``with_flops``), and
+  **≈7.5 GB HBM traffic/step** (eager torch materializes the 2.6 GB
+  pre-pool temporal-conv map both directions, + 7 param-sized optimizer
+  streams);
+- A100 step time is bounded below by max(launch, compute, memory) floors:
+  launches 915×[3,8] µs, compute 205 GFLOP / [156 TF/s TF32, 19.5 TF/s
+  fp32 — torch ≥1.12 defaults TF32 matmul OFF], memory 7.5 GB / [2.0,
+  1.55] TB/s → **step ∈ [3.8 ms, 10.5 ms] → 97k–272k samples/s**. The
+  binding floor at the fast edge is HBM bandwidth: eager torch here is
+  memory-bound at roofline.
+- ``vs_baseline`` divides by the band's FAST edge (272k) — the most
+  conservative choice: the real reference loop is strictly slower than
+  this ideal (two forced ``.item()`` syncs/step, host dataloader, Python
+  dispatch gaps that cannot hide behind memory traffic).
+- Context for reading the number: a single v5e has 819 GB/s HBM vs the
+  A100's 1.55–2.0 TB/s (≈0.41×), so for this memory-bound workload the
+  hardware-adjusted ideal ratio is ≈0.41; measured ~0.35 means the TPU
+  program runs at ≈85% of what a PERFECT A100 implementation scaled to
+  v5e bandwidth could do — while XLA's fusion means our program does NOT
+  materialize the 2.6 GB intermediate eager torch pays for.
+- MEASURED same-env anchor kept for reproducibility: the torch twin runs
+  at **21.2 samples/s** on this host's single CPU core
+  (``scripts/bench_torch_baseline.py``).
 
 The JSON row also carries ``mfu_pct`` — model FLOPs (XLA cost analysis of
 the compiled epoch) / v5e peak 197 bf16 TFLOP/s. The model is tiny (~0.1
@@ -39,9 +57,10 @@ import time
 
 import numpy as np
 
-# estimated reference (torch, A100) training throughput, samples/sec — see
-# the docstring for derivation; measured same-env anchor below.
-A100_BASELINE_SAMPLES_PER_S = 10_000.0
+# A100 throughput BAND for the reference's eager-torch step (samples/s),
+# derived from profiled launches/FLOPs/bytes + A100 rooflines — see the
+# docstring and scripts/bench_a100_band.py (emits these numbers as JSON)
+A100_BAND_SAMPLES_PER_S = (97_000.0, 272_000.0)
 TORCH_CPU_MEASURED_SAMPLES_PER_S = 21.2  # scripts/bench_torch_baseline.py
 V5E_PEAK_FLOPS = 197e12  # bf16
 
@@ -144,16 +163,28 @@ def headline():
     except Exception:
         pass
 
+    lo, hi = A100_BAND_SAMPLES_PER_S
     result = {
         "metric": "atms_contrastive_train_throughput",
         "value": round(samples_per_s, 1),
         "unit": "samples/s",
-        "vs_baseline": round(samples_per_s / A100_BASELINE_SAMPLES_PER_S, 3),
+        # conservative: divides by the FAST edge of the ideal-A100 band
+        "vs_baseline": round(samples_per_s / hi, 3),
+        "vs_baseline_band": [round(samples_per_s / hi, 3),
+                             round(samples_per_s / lo, 3)],
         "mfu_pct": mfu_pct,
         "baseline_note": (
-            "A100 estimate 10k samples/s (~500x the measured same-env torch "
-            f"CPU anchor {TORCH_CPU_MEASURED_SAMPLES_PER_S} samples/s, "
-            "scripts/bench_torch_baseline.py)"
+            "denominator = ideal-A100 roofline band for the reference's "
+            f"eager-torch step, {int(lo)}-{int(hi)} samples/s (profiled "
+            "915 launches / 205 GFLOP / 7.5 GB HBM per step; binding floor "
+            "at the fast edge is HBM bandwidth — scripts/bench_a100_band."
+            "py). vs_baseline uses the FAST edge; the real reference loop "
+            "is strictly slower (.item() syncs, host dataloader). Hardware "
+            "context: v5e HBM is 0.41x A100's, so the memory-bound "
+            "hardware-adjusted ideal ratio is ~0.41. Same-host measured "
+            f"torch-CPU anchor: {TORCH_CPU_MEASURED_SAMPLES_PER_S} "
+            "samples/s (scripts/bench_torch_baseline.py); rounds 1-4 used "
+            "10k = ~500x that anchor as the denominator (superseded)."
         ),
     }
     print(json.dumps(result))

@@ -165,6 +165,9 @@ def load_things_eeg_subject(
     train: bool,
     time_window: tuple[float, float] = (0.0, 1.0),
     average_test_reps: bool = True,
+    classes: list[int] | None = None,
+    pictures: list[int] | None = None,
+    val_size=None,
     dtype=np.float32,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Load one subject's epochs → (eeg, labels).
@@ -176,7 +179,22 @@ def load_things_eeg_subject(
     train (n_cls, imgs, reps, C, T), test (n_cls, 1, reps, C, T)) load
     through the same interface: the extra axis folds into the EEG layout
     and ``n_img_per_cls`` comes from the stored shape (12) instead of 10.
+
+    Subset options (ref ``eegdatasets_leaveone.py:40,168-216`` — analysis
+    conveniences; no reference training script passes them):
+
+    - ``classes``: keep only the listed class indices (train: every image
+      × rep of each class; test: the listed concepts). Labels keep their
+      ORIGINAL class ids, like the reference.
+    - ``pictures`` (with ``classes``, train only): per ``(class, picture)``
+      pair keep that single image's repetitions. The reference computes the
+      flat index as ``c * 1 + p`` (``:171``) — an upstream indexing bug
+      (every condition after class 0 lands in the wrong class); this loader
+      implements the documented intent, ``c * images_per_class + p``.
+    - ``val_size``: accepted for signature parity and IGNORED — the
+      reference stores it and never reads it (dead parameter).
     """
+    del val_size  # dead in the reference too (stored at :51, never read)
     raw = _load_subject_file(data_path, subject, train)
     n_img_per_cls = 10
     if "preprocessed_eeg_data" in raw:
@@ -195,8 +213,39 @@ def load_things_eeg_subject(
     if mask.shape[0] == data.shape[-1]:
         data = data[..., mask]
 
+    if pictures is not None and (classes is None or not train):
+        raise ValueError(
+            "pictures requires classes and train=True "
+            "(ref eegdatasets_leaveone.py:168-175)"
+        )
+
     if train:
         # (n_cls*10, reps=4, C, T) stored flat in class-major order
+        if classes is not None:
+            if pictures is not None:
+                if len(pictures) != len(classes):
+                    raise ValueError(
+                        f"classes ({len(classes)}) and pictures "
+                        f"({len(pictures)}) must pair up elementwise"
+                    )
+                conds = np.asarray(
+                    [c * n_img_per_cls + p
+                     for c, p in zip(classes, pictures)], np.int64
+                )
+                cond_labels = np.asarray(classes, np.int32)
+            else:
+                conds = np.asarray(
+                    [c * n_img_per_cls + j
+                     for c in classes for j in range(n_img_per_cls)],
+                    np.int64,
+                )
+                cond_labels = np.repeat(
+                    np.asarray(classes, np.int32), n_img_per_cls
+                )
+            data = data[conds]
+            n_rep = data.shape[1]
+            eeg = data.reshape(data.shape[0] * n_rep, *data.shape[2:])
+            return eeg, np.repeat(cond_labels, n_rep)
         n_cond, n_rep = data.shape[0], data.shape[1]
         eeg = data.reshape(n_cond * n_rep, *data.shape[2:])
         n_cls = n_cond // n_img_per_cls
@@ -204,12 +253,16 @@ def load_things_eeg_subject(
         return eeg, labels
     # test: (200, 80, C, T)
     n_cls = data.shape[0]
+    keep = (np.arange(n_cls) if classes is None
+            else np.asarray(sorted(set(classes)), np.int64))
+    data = data[keep]
+    cls_ids = keep.astype(np.int32)
     if average_test_reps:
         eeg = data.mean(axis=1)
-        labels = np.arange(n_cls, dtype=np.int32)
+        labels = cls_ids
     else:
         eeg = data.reshape(-1, *data.shape[2:])
-        labels = np.repeat(np.arange(n_cls, dtype=np.int32), data.shape[1])
+        labels = np.repeat(cls_ids, data.shape[1])
     return eeg, labels
 
 

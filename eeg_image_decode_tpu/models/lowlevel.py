@@ -46,11 +46,18 @@ class EncoderLowLevel(nn.Module):
                 ch, kernel_size=(4, 4), strides=(2, 2), padding="SAME",
                 dtype=self.dtype, name=f"up_{i}",
             )(h)
+            # use_fast_variance=False: torch BN computes E[(x-mu)^2];
+            # the fast E[x^2]-E[x]^2 form loses up to ~1e-4 relative var
+            # to cancellation after deep ConvT chains, measurably widening
+            # torch-trajectory deviation (scripts/parity_lowlevel_
+            # trajectory.py)
             h = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+                             use_fast_variance=False,
                              dtype=jnp.float32, name=f"bn_{i}")(h)
             h = nn.relu(h)
         h = nn.Conv(16, (1, 1), dtype=self.dtype, name="proj_16")(h)
         h = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+                         use_fast_variance=False,
                          dtype=jnp.float32, name="bn_proj")(h)
         h = nn.relu(h)
         return nn.Conv(self.latent_channels, (1, 1), dtype=self.dtype,
@@ -140,6 +147,11 @@ def export_encoder_low_level(variables: dict) -> dict:
         sd[f"{name}.running_var"] = np.asarray(running["var"])
         sd[f"{name}.num_batches_tracked"] = np.asarray(0, np.int64)
 
+    # the reference class registers a logit_scale the low-level loss never
+    # touches (train_ :224, assigned-but-unused at :296); AdamW skips
+    # grad-less params, so it stays at its ln(1/0.07) init — emitted so
+    # strict=True loads succeed
+    sd["logit_scale"] = np.asarray(np.log(1.0 / 0.07), np.float32)
     sd["subject_wise_linear.0.weight"] = np.ascontiguousarray(
         np.asarray(p["subject_linear"]["kernel"]).T
     )

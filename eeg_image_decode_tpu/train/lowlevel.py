@@ -52,15 +52,33 @@ class LowLevelTrainer:
         self.state: LowLevelState | None = None
         self._preview: dict | None = None
 
-    def init(self, total_steps: int, seed: int = 0) -> LowLevelState:
+    def init(self, total_steps: int, seed: int = 0,
+             steps_per_epoch: int | None = None) -> LowLevelState:
         cfg = self.cfg
         variables = self.model.init(
             jax.random.key(seed),
             jnp.zeros((2, cfg.n_channels, cfg.seq_len)),
             deterministic=True,
         )
-        schedule = optax.cosine_decay_schedule(cfg.lr, max(total_steps, 1))
-        self.tx = optax.adamw(schedule)
+        if steps_per_epoch:
+            # the reference steps CosineAnnealingLR(T_max=epochs,
+            # eta_min=1e-6) once per EPOCH (train_vae_latent_512_low_level
+            # _no_average.py:407,442): a per-epoch staircase, epoch e at
+            # η_min + (lr−η_min)(1+cos(πe/T))/2 — pinned by
+            # scripts/parity_lowlevel_trajectory.py
+            t_max = max(total_steps // steps_per_epoch, 1)
+            eta_min = 1e-6
+
+            def schedule(count):
+                epoch = count // steps_per_epoch
+                return eta_min + (cfg.lr - eta_min) * 0.5 * (
+                    1.0 + jnp.cos(jnp.pi * epoch / t_max)
+                )
+        else:  # no epoch structure known: smooth per-step cosine
+            schedule = optax.cosine_decay_schedule(cfg.lr, max(total_steps, 1))
+        # torch.optim.AdamW's DEFAULT weight_decay=0.01 — the reference
+        # passes only lr (:533), so 0.01 is what its runs actually used
+        self.tx = optax.adamw(schedule, weight_decay=0.01)
         self.state = LowLevelState(
             step=jnp.zeros((), jnp.int32),
             params=variables["params"],

@@ -137,9 +137,15 @@ def load_bench() -> None:
     )
     gallery = rng.normal(size=(16540, 1024)).astype(np.float32)
     gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
+    # max_batch 256 = the coalescing window: the server merges the queued
+    # backlog into one padded dispatch, so a 32-client burst (256 rows)
+    # rides ONE compiled call instead of 32 (round 4's p50 ≈ C × 78 ms came
+    # from per-request dispatches under the lock). A single 8-row request
+    # pads to 256 — padding FLOPs are noise next to dispatch+readback
+    # through the remote-device tunnel.
     svc = RetrievalService(
         model, {"params": state.params, "batch_stats": state.batch_stats},
-        gallery, max_batch=req_b,
+        gallery, max_batch=256,
     )
     # compile BEFORE the HTTP phase: the first full-size compile through
     # this machine's remote compile helper takes 40-600 s (docs/PERF.md)

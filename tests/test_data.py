@@ -81,6 +81,45 @@ def test_load_test_unaveraged(fake_things):
     np.testing.assert_array_equal(labels[:8], 0)
 
 
+def test_subset_classes_and_pictures(fake_things):
+    """The reference's analysis-only subset options
+    (``eegdatasets_leaveone.py:40,168-216``): classes keeps whole classes
+    with ORIGINAL labels; classes+pictures keeps single (class, picture)
+    conditions; test-side classes filters concepts; val_size is a dead
+    parameter there and ignored here."""
+    path, n_cls = fake_things
+    with open(path / "sub-01" / "preprocessed_eeg_training.npy", "rb") as f:
+        raw = pickle.load(f)["preprocessed_eeg_data"]
+
+    eeg, labels = load_things_eeg_subject(
+        str(path), "sub-01", train=True, classes=[1, 4], val_size=0.1)
+    assert eeg.shape[0] == 2 * 10 * 4
+    np.testing.assert_array_equal(np.unique(labels), [1, 4])
+    np.testing.assert_allclose(eeg[0], raw[1 * 10, 0], rtol=1e-6)
+
+    # classes + pictures: one image per pair, at the INTENDED flat index
+    # c*10+p (the reference's own c*1+p at :171 is a documented upstream
+    # indexing bug)
+    eeg, labels = load_things_eeg_subject(
+        str(path), "sub-01", train=True, classes=[2, 5], pictures=[3, 0])
+    assert eeg.shape[0] == 2 * 4
+    np.testing.assert_array_equal(labels, [2, 2, 2, 2, 5, 5, 5, 5])
+    np.testing.assert_allclose(eeg[0], raw[2 * 10 + 3, 0], rtol=1e-6)
+
+    # test side: keep only the listed concepts
+    eeg, labels = load_things_eeg_subject(
+        str(path), "sub-01", train=False, classes=[0, 3])
+    assert eeg.shape[0] == 2
+    np.testing.assert_array_equal(labels, [0, 3])
+
+    with pytest.raises(ValueError, match="pictures requires"):
+        load_things_eeg_subject(str(path), "sub-01", train=True,
+                                pictures=[0])
+    with pytest.raises(ValueError, match="pair up"):
+        load_things_eeg_subject(str(path), "sub-01", train=True,
+                                classes=[0, 1], pictures=[0])
+
+
 def test_build_retrieval_data_index_arithmetic(fake_things):
     path, n_cls = fake_things
     D = 16

@@ -33,6 +33,13 @@ class _RefLowLevel(torch.nn.Module):
         self.subject_wise_linear = torch.nn.ModuleList(
             [torch.nn.Linear(SEQ, PROJ)]
         )
+        # the real reference registers a logit_scale its low-level loss
+        # never touches (train_...no_average.py:224); the exporter emits it
+        # for strict loads, so the twin must carry it too
+        import math
+
+        self.logit_scale = torch.nn.Parameter(
+            torch.ones([]) * math.log(1 / 0.07))
         layers = []
         in_ch = N_CH * PROJ
         for ch in STAGES:

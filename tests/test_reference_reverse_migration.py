@@ -147,6 +147,43 @@ def test_prior_export_loads_strict_into_reference_class(rng):
                                rtol=1e-4)
 
 
+def test_lowlevel_export_loads_strict_into_reference_class(rng):
+    """export_encoder_low_level output loads strict=True into the
+    reference's real ``encoder_low_level`` (143M-param fixed-size module)
+    and matches its forward."""
+    from tests._reference_import import import_reference_lowlevel
+    from eeg_image_decode_tpu.models.lowlevel import (
+        EncoderLowLevel,
+        convert_encoder_low_level,
+        export_encoder_low_level,
+    )
+
+    ref = import_reference_lowlevel()
+    torch.manual_seed(0)
+    t_model = ref.encoder_low_level()
+    variables = convert_encoder_low_level(
+        {k: v.detach().numpy() for k, v in t_model.state_dict().items()})
+    sd = export_encoder_low_level(variables)
+
+    t2 = ref.encoder_low_level()
+    t2.load_state_dict(_to_torch(sd), strict=True)
+    t2.eval()
+    x = (rng.normal(size=(2, 63, 250)) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        want = t2(torch.tensor(x)).numpy()
+        orig = t_model.eval()(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(want, orig, atol=1e-6)  # exact roundtrip
+    model = EncoderLowLevel()
+    got = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), deterministic=True,
+    )
+    # NHWC → NCHW for comparison
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(got), -1, 1), want, atol=2e-3, rtol=2e-3)
+
+
 def test_reference_class_rejects_truncated_export(rng):
     """Negative control: the pre-fix export (missing subject_wise_linear /
     mask/pe/temporal keys) must FAIL a strict load — i.e. the keys this
