@@ -59,6 +59,13 @@ class RetrievalService:
             jnp.asarray(gallery_features, jnp.float32)
         )
         self.max_batch = max_batch
+        # bucketed compile shapes: a chunk pads to the SMALLEST bucket that
+        # fits, so a single small request keeps its small-dispatch latency
+        # while a coalesced burst (server.py::_Coalescer) rides one big
+        # dispatch — at most len(buckets) compiled programs per k
+        self.buckets = tuple(sorted({
+            b for b in (8, 32, max_batch) if b <= max_batch
+        }))
 
         from functools import partial
 
@@ -94,7 +101,8 @@ class RetrievalService:
             chunk = eeg[start : start + self.max_batch]
             sids = subject_ids[start : start + self.max_batch]
             m = chunk.shape[0]
-            pad = self.max_batch - m
+            bucket = next(b for b in self.buckets if b >= m)
+            pad = bucket - m
             eeg_p = np.pad(chunk, ((0, pad), (0, 0), (0, 0)))
             sid_p = np.pad(sids, (0, pad))
             scores, idx = self._query(

@@ -44,14 +44,19 @@ def test_retrieval_service_topk():
     assert top1_acc >= 0.5, top1_acc
     # scores sorted descending
     assert np.all(np.diff(scores, axis=1) <= 0)
-    # oversized requests chunk at the single compiled shape (no retrace) and
-    # agree with the small request on the shared rows
-    traces = svc._query._cache_size()
+    # requests compile at BUCKETED shapes only (small request → small
+    # dispatch; a coalesced burst → one big dispatch): the 8-row call used
+    # bucket 8, the 24-row call chunks 16+8 adding only bucket 16, and a
+    # repeat adds nothing
+    assert svc.buckets == (8, 16)
+    assert svc._query._cache_size() == 1
     eeg24 = np.concatenate([test.eeg] * 2)[:24]  # 1.5× max_batch
     sid24 = np.concatenate([test.subject_ids] * 2)[:24]
     s2, i2 = svc.top_k(eeg24, sid24, k=3)
     assert s2.shape == (24, 3)
-    assert svc._query._cache_size() == traces == 1
+    assert svc._query._cache_size() == 2
+    svc.top_k(eeg24, sid24, k=3)
+    assert svc._query._cache_size() == 2
     np.testing.assert_allclose(s2[:8], scores, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(i2[:8], idx)
 
