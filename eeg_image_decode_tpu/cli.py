@@ -775,8 +775,12 @@ def cmd_serve(args):
     feats = load_features(args.features)
     gallery = feats.get("img_features_test", feats["img_features"])
     retrieval = RetrievalService(
-        model, variables, gallery, max_batch=args.max_batch
+        model, variables, gallery, max_batch=args.max_batch,
+        transfer_dtype=args.transfer_dtype,
     )
+    # compile all bucket shapes before accepting traffic: a cold bucket on
+    # the live path costs a full XLA compile (measured 14.5 s p99 outlier)
+    retrieval.warmup((args.channels, args.timepoints))
 
     reconstruction = None
     if args.prior_params:
@@ -1647,6 +1651,12 @@ def main(argv=None):
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--max-batch", type=int, default=256)
+    p.add_argument("--transfer-dtype", default=None,
+                   choices=["float16", "float32"],
+                   help="host→device wire format for retrieval EEG rows; "
+                        "float16 halves the PCIe/tunnel bytes of the "
+                        "transfer-bound coalesced dispatch (decision deltas "
+                        "stay at the bf16 serving model's resolution)")
     p.add_argument("--gen-batch", type=int, default=16)
     p.add_argument("--prior-params", default=None,
                    help="enable /v1/reconstruct (pickled prior)")

@@ -52,6 +52,7 @@ class RetrievalService:
         gallery_features: np.ndarray,
         *,
         max_batch: int = 256,
+        transfer_dtype=None,
     ):
         self.model = model
         self.variables = variables
@@ -59,6 +60,14 @@ class RetrievalService:
             jnp.asarray(gallery_features, jnp.float32)
         )
         self.max_batch = max_batch
+        # host→device wire format for the EEG rows. The coalesced-batch
+        # dispatch is TRANSFER-bound, not compute-bound (measured on this
+        # host: 375 ms for a 256-row call of which 342 ms is the 16 MB fp32
+        # copy; compute+readback is 46 ms — docs/PERF.md). float16 halves
+        # the bytes; a bfloat16 serving model casts its input down anyway,
+        # so the decision deltas are at bf16 resolution already.
+        self.transfer_dtype = np.dtype(transfer_dtype) if transfer_dtype \
+            else None
         # bucketed compile shapes: a chunk pads to the SMALLEST bucket that
         # fits, so a single small request keeps its small-dispatch latency
         # while a coalesced burst (server.py::_Coalescer) rides one big
@@ -83,6 +92,18 @@ class RetrievalService:
 
         self._query = query
 
+    def warmup(self, eeg_shape: tuple[int, int],
+               ks: tuple[int, ...] = (5,)) -> None:
+        """Compile every bucket shape up front (one dummy dispatch per
+        (bucket, k) over ``eeg_shape=(C, T)``) so no live request ever pays
+        a compile on the serving path — a cold bucket hit by the first
+        coalesced burst measured as a 14.5 s p99 outlier (docs/PERF.md)."""
+        c, t = eeg_shape
+        for b in self.buckets:
+            for k in ks:
+                self.top_k(np.zeros((b, c, t), np.float32),
+                           np.zeros(b, np.int32), k=k)
+
     def top_k(
         self,
         eeg: np.ndarray,
@@ -104,6 +125,8 @@ class RetrievalService:
             bucket = next(b for b in self.buckets if b >= m)
             pad = bucket - m
             eeg_p = np.pad(chunk, ((0, pad), (0, 0), (0, 0)))
+            if self.transfer_dtype is not None:
+                eeg_p = eeg_p.astype(self.transfer_dtype)
             sid_p = np.pad(sids, (0, pad))
             scores, idx = self._query(
                 self.variables, self.gallery, jnp.asarray(eeg_p),

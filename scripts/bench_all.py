@@ -153,11 +153,13 @@ def _bench_eval():
     }))
 
 
-def _bench_reconstruction():
+def _bench_reconstruction(resolution: int = 512):
     """End-to-end EEG-embedding → image latency: full-size diffusion prior
     (50 steps, CFG 5.0, the reference's reconstruction setting) + full-size
-    SDXL-turbo UNet ×4 steps + VAE decode at 512 px, batch 1 — the
-    BASELINE.md north-star path (<10 s per reconstruction)."""
+    SDXL-turbo UNet ×4 steps + VAE decode, batch 1 — the BASELINE.md
+    north-star path (<10 s per reconstruction). ``resolution=1024`` is the
+    reference's final recombination output scale
+    (``1x1024_reconstruct_sdxl.ipynb``)."""
     import jax
     import jax.numpy as jnp
 
@@ -167,7 +169,8 @@ def _bench_reconstruction():
 
     pipe = PriorPipe(PriorConfig())
     pipe.init(total_steps=1)
-    gen = Generator4Embeds(GeneratorConfig())
+    side = resolution // 8  # SDXL VAE pixel factor
+    gen = Generator4Embeds(GeneratorConfig(latent_size=(side, side)))
     gen.init_abstract(jax.random.key(0))  # bf16 random weights, full shapes
 
     def run(batch, i):
@@ -185,11 +188,12 @@ def _bench_reconstruction():
     run(1, 0)  # compile
     v = min(run(1, i) for i in range(1, 4))
     print(json.dumps({
-        "metric": "reconstruction_latency_e2e",
+        "metric": "reconstruction_latency_e2e"
+                  + ("" if resolution == 512 else f"_{resolution}"),
         "value": round(v * 1e3, 1),
         "unit": "ms/image",
         "config": {"prior_steps": 50, "cfg": 5.0, "sdxl_steps": 4,
-                   "resolution": 512, "batch": 1},
+                   "resolution": resolution, "batch": 1},
     }))
     # throughput at the reference's natural serving batch (10 seeds/class,
     # Generation_metrics_sub8.ipynb cell 9): batching amortizes dispatch and
@@ -197,11 +201,12 @@ def _bench_reconstruction():
     run(8, 4)  # compile batched shapes
     v8 = min(run(8, i) for i in range(5, 8))
     print(json.dumps({
-        "metric": "reconstruction_throughput_batched",
+        "metric": "reconstruction_throughput_batched"
+                  + ("" if resolution == 512 else f"_{resolution}"),
         "value": round(v8 * 1e3 / 8, 1),
         "unit": "ms/image",
         "config": {"prior_steps": 50, "cfg": 5.0, "sdxl_steps": 4,
-                   "resolution": 512, "batch": 8},
+                   "resolution": resolution, "batch": 8},
     }))
 
 
@@ -244,6 +249,10 @@ BENCHES = {
                                      joint=True, n_subjects=2),
     "eval": _bench_eval,
     "recon": _bench_reconstruction,
+    # the reference's final output stage is 1024^2 SDXL
+    # (1x1024_reconstruct_sdxl.ipynb cells 20-27): same chain at 128x128
+    # latents so the <10 s north star is evidenced at the real output scale
+    "recon1024": lambda: _bench_reconstruction(resolution=1024),
 }
 
 
@@ -255,6 +264,10 @@ def main():
     if len(sys.argv) > 1:
         import jax
 
+        # persistent compile cache: the full-size SDXL graphs (recon rows,
+        # worst at 1024^2) take minutes through the remote compile helper
+        # on a cold cache
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
         jax.config.update("jax_default_prng_impl", "rbg")
         from eeg_image_decode_tpu.utils.backend import wait_for_backend
 

@@ -146,11 +146,16 @@ def load_bench() -> None:
     svc = RetrievalService(
         model, {"params": state.params, "batch_stats": state.batch_stats},
         gallery, max_batch=256,
+        # the coalesced dispatch is transfer-bound on this host (342 of
+        # 375 ms is the 16 MB fp32 copy); fp16 wire halves it — the same
+        # flag `cli serve --transfer-dtype float16` exposes
+        transfer_dtype="float16",
     )
-    # compile BEFORE the HTTP phase: the first full-size compile through
-    # this machine's remote compile helper takes 40-600 s (docs/PERF.md)
-    # and would blow any sane client timeout
-    svc.top_k(eeg, sids, k=5)
+    # compile ALL bucket shapes BEFORE the HTTP phase (what `cli serve`
+    # does at startup): the first full-size compile through this machine's
+    # remote compile helper takes 40-600 s (docs/PERF.md) and a cold bucket
+    # hit by a coalesced burst measured as a 14.5 s p99 outlier
+    svc.warmup((63, 250), ks=(5,))
 
     server = EEGDecodeServer(retrieval=svc)
     port = server.start()

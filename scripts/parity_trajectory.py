@@ -88,6 +88,10 @@ def run_jax(sd, train, test, perms, batch, lr, wd, *, dropout=False,
 
     mcfg = ATMSConfig(
         exact_gelu=exact_gelu,
+        # pin the unfused tsconv layout: convert_atms_state_dict emits
+        # 'temporal_conv' params, and 'auto' would resolve to the fused
+        # 'temporal_conv_kernel' layout when this script runs on TPU
+        fused_tsconv=False,
         **({} if dropout else dict(
             dropout=0.0, conv_dropout=0.0, proj_dropout=0.0))
     )
@@ -293,7 +297,8 @@ def exact_gelu_delta(res, log=print):
 
     test, state = res["test"], res["state"]
     m2 = build_encoder("atms", config=ATMSConfig(
-        dropout=0.0, conv_dropout=0.0, proj_dropout=0.0, exact_gelu=True))
+        dropout=0.0, conv_dropout=0.0, proj_dropout=0.0, exact_gelu=True,
+        fused_tsconv=False))
     feats2, scale2 = make_eval_features_fn(m2)(
         state.params, state.batch_stats,
         jnp.asarray(test.eeg), jnp.asarray(test.subject_ids),

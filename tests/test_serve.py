@@ -59,6 +59,26 @@ def test_retrieval_service_topk():
     assert svc._query._cache_size() == 2
     np.testing.assert_allclose(s2[:8], scores, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(i2[:8], idx)
+    # warmup compiles every remaining (bucket, k) pair up front so live
+    # requests never pay an XLA compile; afterwards any request size at a
+    # warmed k adds no traces
+    c, t = test.eeg.shape[1:]
+    svc.warmup((c, t), ks=(3,))
+    n_warm = svc._query._cache_size()
+    svc.top_k(test.eeg[:13], test.subject_ids[:13], k=3)
+    assert svc._query._cache_size() == n_warm
+    # float16 wire format (transfer-bound coalesced dispatch lever): same
+    # decisions, scores at reduced-precision resolution
+    svc16 = RetrievalService(
+        model,
+        {"params": trainer.state.params,
+         "batch_stats": trainer.state.batch_stats},
+        test.class_img_features(),
+        max_batch=16, transfer_dtype="float16",
+    )
+    s16, i16 = svc16.top_k(test.eeg[:8], test.subject_ids[:8], k=3)
+    np.testing.assert_array_equal(i16[:, 0], idx[:, 0])
+    np.testing.assert_allclose(s16, scores, rtol=5e-2, atol=5e-2)
 
 
 def test_reconstruction_service_chain():
