@@ -194,7 +194,7 @@ def headline():
 # subprocess via scripts/bench_all.py — leftover HBM allocations and queued
 # dispatches from one bench depress the next when run in-process (measured:
 # the eval row read 326k samples/s after training benches vs 6.2M standalone)
-EXTRA_ROWS = ("eval", "prior", "recon")
+EXTRA_ROWS = ("eval", "prior", "recon", "recon1024")
 ROW_TIMEOUT_S = 900
 
 

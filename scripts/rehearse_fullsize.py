@@ -275,14 +275,16 @@ def leg_git():
 
 
 def main():
+    import sys
+
     from eeg_image_decode_tpu.utils.backend import wait_for_backend
 
+    legs = {"unet": leg_unet, "vae": leg_vae, "text": leg_text,
+            "openclip": leg_openclip, "git": leg_git}
+    picked = [legs[a] for a in sys.argv[1:]] or list(legs.values())
     print("devices:", wait_for_backend(), flush=True)
-    leg_unet()
-    leg_vae()
-    leg_text()
-    leg_openclip()
-    leg_git()
+    for leg in picked:
+        leg()
     print("\n=== rehearsal summary ===")
     for line in RESULTS:
         print(line)
