@@ -805,6 +805,9 @@ def cmd_serve(args):
         reconstruction = ReconstructionService(
             model, variables, pipe, gen, max_batch=args.gen_batch
         )
+        # the first full-size fused SDXL compile takes minutes on a cold
+        # cache — pay it before accepting traffic, not on a live request
+        reconstruction.warmup((args.channels, args.timepoints))
 
     server = EEGDecodeServer(
         retrieval=retrieval, reconstruction=reconstruction

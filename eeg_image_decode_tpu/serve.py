@@ -220,6 +220,14 @@ class ReconstructionService:
             None,
         )
 
+    def warmup(self, eeg_shape: tuple[int, int]) -> None:
+        """Compile the (single) chunk shape before accepting traffic: the
+        first full-size fused SDXL compile takes minutes on a cold cache —
+        far beyond any client timeout if paid on the live path."""
+        c, t = eeg_shape
+        self.reconstruct(np.zeros((1, c, t), np.float32),
+                         np.zeros(1, np.int32))
+
     def reconstruct(
         self,
         eeg: np.ndarray,
@@ -297,6 +305,12 @@ class CaptionService:
             return feats.astype(jnp.float32)
 
         self._encode = encode
+
+    def warmup(self, eeg_shape: tuple[int, int]) -> None:
+        """Compile the (single) chunk shape before accepting traffic (see
+        :meth:`ReconstructionService.warmup`)."""
+        c, t = eeg_shape
+        self.caption(np.zeros((1, c, t), np.float32), np.zeros(1, np.int32))
 
     def caption(
         self,

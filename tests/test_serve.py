@@ -99,6 +99,9 @@ def test_reconstruction_service_chain():
          "batch_stats": trainer.state.batch_stats},
         prior, gen, max_batch=4,
     )
+    # startup warmup (what `cli serve` runs) compiles the chunk shape; the
+    # live request after it must hit the same compiled program
+    svc.warmup(test.eeg.shape[1:])
     imgs = svc.reconstruct(test.eeg[:3], test.subject_ids[:3])
     assert imgs.shape == (3, 16, 16, 3)
     assert imgs.min() >= 0 and imgs.max() <= 1
@@ -202,6 +205,7 @@ def test_caption_service_chain():
         WordPieceTokenizer(vocab),
         max_batch=4, max_new_tokens=4,
     )
+    svc.warmup(test.eeg.shape[1:])  # startup compile (cli serve semantics)
     caps = svc.caption(test.eeg[:3], test.subject_ids[:3])
     assert len(caps) == 3
     assert all(isinstance(c, str) for c in caps)
