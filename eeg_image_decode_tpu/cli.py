@@ -809,11 +809,49 @@ def cmd_serve(args):
         # cache — pay it before accepting traffic, not on a live request
         reconstruction.warmup((args.channels, args.timepoints))
 
+    caption = None
+    if args.git_params:
+        if not args.prior_params:
+            raise SystemExit("--git-params needs --prior-params (captions "
+                             "sample CLIP embeddings from the prior)")
+        if not (args.projector_params and args.vocab):
+            raise SystemExit("--git-params needs --projector-params and "
+                             "--vocab to serve /v1/caption")
+        from eeg_image_decode_tpu.data.tokenizers import WordPieceTokenizer
+        from eeg_image_decode_tpu.models.git_caption import (
+            GITCaptioner,
+            GITConfig,
+            PixelProjector,  # noqa: F401  (CaptionService builds its own)
+            git_config_from_params,
+        )
+        from eeg_image_decode_tpu.serve import CaptionService
+
+        with open(args.git_params, "rb") as f:
+            git_params = pickle.load(f)
+        with open(args.projector_params, "rb") as f:
+            proj_params = pickle.load(f)
+        base = GITConfig.tiny() if args.tiny else GITConfig.git_large_coco()
+        # derive the decoder shape from the weights (a base-shaped
+        # checkpoint must not run under a large-shaped model)
+        gcfg2 = git_config_from_params(
+            git_params, max_text_len=base.max_text_len,
+            num_visual_tokens=base.num_visual_tokens,
+            bos_token_id=base.bos_token_id, eos_token_id=base.eos_token_id,
+            pad_token_id=base.pad_token_id,
+        )
+        caption = CaptionService(
+            model, variables, pipe, GITCaptioner(gcfg2), git_params,
+            proj_params, WordPieceTokenizer.from_file(args.vocab),
+            max_batch=args.gen_batch, max_new_tokens=args.max_new_tokens,
+        )
+        caption.warmup((args.channels, args.timepoints))
+
     server = EEGDecodeServer(
-        retrieval=retrieval, reconstruction=reconstruction
+        retrieval=retrieval, reconstruction=reconstruction, caption=caption
     )
     print(f"serving on {args.host}:{args.port} "
-          f"(reconstruct={'yes' if reconstruction else 'no'})")
+          f"(reconstruct={'yes' if reconstruction else 'no'}, "
+          f"caption={'yes' if caption else 'no'})")
     server.serve_forever(args.host, args.port)
 
 
@@ -1664,6 +1702,14 @@ def main(argv=None):
     p.add_argument("--prior-params", default=None,
                    help="enable /v1/reconstruct (pickled prior)")
     p.add_argument("--generator-params", default=None)
+    p.add_argument("--git-params", default=None,
+                   help="enable /v1/caption (pickled GIT decoder params; "
+                        "needs --prior-params, --projector-params, --vocab)")
+    p.add_argument("--projector-params", default=None,
+                   help="trained PixelProjector adapter (train-adapter)")
+    p.add_argument("--vocab", default=None,
+                   help="WordPiece vocab file for caption detokenization")
+    p.add_argument("--max-new-tokens", type=int, default=25)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)

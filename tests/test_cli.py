@@ -848,3 +848,109 @@ def test_cli_export_checkpoint_roundtrip(tmp_path):
         jnp.asarray(x), jnp.ones((2,), jnp.int32), deterministic=True,
     )
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_cli_serve_caption_end_to_end(tmp_path, monkeypatch):
+    """`cli serve --git-params ...` exposes /v1/caption: a trained run dir +
+    tiny prior/GIT/projector artifacts serve caption strings over HTTP, with
+    all three services warmed at startup (no compile on the live path)."""
+    import dataclasses
+    import json
+    import pickle
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_image_decode_tpu import server as server_mod
+    from eeg_image_decode_tpu.core.config import PriorConfig
+    from eeg_image_decode_tpu.models.git_caption import (
+        GITCaptioner,
+        GITConfig,
+        PixelProjector,
+    )
+    from eeg_image_decode_tpu.train.prior import PriorPipe
+
+    _write_two_subject_tree(tmp_path)
+    cli.main([
+        "train-retrieval", "--data-path", str(tmp_path),
+        "--features", str(tmp_path / "f.npz"),
+        "--encoder", "atms", "--subjects", "sub-01",
+        "--batch-size", "16", "--dtype", "float32", "--eval-ks", "2,6",
+        "--epochs", "1", "--output-dir", str(tmp_path / "runs"),
+    ])
+    base = tmp_path / "runs" / "contrast" / "atms" / "sub-01"
+    run_dir = str(base / os.listdir(base)[0])
+
+    # config-carrying prior pickle: cond 1024 (the encoder's CLIP width),
+    # embed 64 (what GeneratorConfig.tiny's IP-adapter projection accepts)
+    pcfg = PriorConfig(
+        embed_dim=64, cond_dim=1024, hidden_dims=(32, 16),
+        time_embed_dim=16, num_inference_steps=3, guidance_scale=2.0,
+    )
+    pipe = PriorPipe(pcfg)
+    pipe.init(total_steps=1)
+    prior_file = tmp_path / "prior.pkl"
+    with open(prior_file, "wb") as f:
+        pickle.dump({
+            "params": jax.tree.map(np.asarray, pipe.state.params),
+            "config": dataclasses.asdict(pcfg),
+        }, f)
+
+    gcfg = GITConfig.tiny()
+    cap = GITCaptioner(gcfg)
+    git_params = cap.init(
+        jax.random.key(0),
+        jnp.zeros((1, gcfg.num_visual_tokens, gcfg.visual_dim)),
+        jnp.zeros((1, 2), jnp.int32),
+    )["params"]
+    proj = PixelProjector(num_tokens=gcfg.num_visual_tokens,
+                          out_dim=gcfg.visual_dim)
+    proj_params = proj.init(jax.random.key(1),
+                            jnp.zeros((1, 64)))["params"]
+    git_file = tmp_path / "git.pkl"
+    proj_file = tmp_path / "proj.pkl"
+    with open(git_file, "wb") as f:
+        pickle.dump(jax.tree.map(np.asarray, git_params), f)
+    with open(proj_file, "wb") as f:
+        pickle.dump(jax.tree.map(np.asarray, proj_params), f)
+
+    holder = {}
+
+    def fake_serve_forever(self, host="127.0.0.1", port=8080):
+        holder["port"] = self.start(host, 0)
+        holder["srv"] = self
+
+    monkeypatch.setattr(server_mod.EEGDecodeServer, "serve_forever",
+                        fake_serve_forever)
+    cli.main([
+        "serve", "--run-dir", run_dir, "--features", str(tmp_path / "f.npz"),
+        "--encoder", "atms", "--channels", "63", "--timepoints", "300",
+        "--dtype", "float32", "--tiny", "--max-batch", "8",
+        "--gen-batch", "2",
+        "--prior-params", str(prior_file), "--git-params", str(git_file),
+        "--projector-params", str(proj_file),
+        "--vocab", _tiny_vocab_file(tmp_path), "--max-new-tokens", "4",
+    ])
+    try:
+        rng = np.random.default_rng(0)
+        eeg = rng.normal(size=(2, 63, 300)).astype(np.float32)
+        body = json.dumps({"eeg": eeg.tolist(), "subject_ids": [1, 1]},
+                          ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{holder['port']}/v1/caption", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert len(out["captions"]) == 2
+        assert all(isinstance(c, str) for c in out["captions"])
+        # health endpoint lists all three services
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{holder['port']}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert set(health["services"]) >= {"retrieval", "reconstruction",
+                                           "caption"}
+    finally:
+        holder["srv"].stop()
