@@ -68,13 +68,20 @@ class DiffusionPriorUNet(nn.Module):
         cond_mask: jax.Array | None = None,
         *,
         deterministic: bool = True,
+        dropout_masks: dict | None = None,
     ) -> jax.Array:
         """``cond_mask`` (B,) ∈ {0,1} gates the conditional injections per
         sample — mask 0 is *exactly* the reference's ``c=None`` branch (the
         cond Linear, bias included, contributes nothing), which makes
         classifier-free guidance a single batched forward and the 10%
         cond-dropout (ref ``:303-305``) a traced op instead of Python
-        branching."""
+        branching.
+
+        ``dropout_masks``: optional externally drawn pre-scaled keep-masks
+        (keys ``enc_{i}``/``dec_{j}``) for the 2(n-1) Dropout sites the
+        reference places after each hidden block's activation
+        (``diffusion_prior.py:140,159``) — the placement-parity test hook
+        (PRNGs are framework-incompatible; placement is pinnable)."""
         dims = self.hidden_dims
         n = len(dims)
         t_feats = timestep_embedding(t, self.time_embed_dim)
@@ -105,14 +112,18 @@ class DiffusionPriorUNet(nn.Module):
                                 name=f"enc_time_{i}")(t_feats)
             h = inject_cond(h + t_emb, dims[i], f"enc_cond_{i}")
             h = MLPBlock(dims[i + 1], dropout=self.dropout, dtype=self.dtype,
-                         name=f"enc_layer_{i}")(h, deterministic=deterministic)
+                         name=f"enc_layer_{i}")(
+                h, deterministic=deterministic,
+                dropout_mask=(dropout_masks or {}).get(f"enc_{i}"))
 
         for j, i in enumerate(range(n - 1, 0, -1)):
             t_emb = TimestepMLP(dims[i], dtype=self.dtype,
                                 name=f"dec_time_{j}")(t_feats)
             h = inject_cond(h + t_emb, dims[i], f"dec_cond_{j}")
             h = MLPBlock(dims[i - 1], dropout=self.dropout, dtype=self.dtype,
-                         name=f"dec_layer_{j}")(h, deterministic=deterministic)
+                         name=f"dec_layer_{j}")(
+                h, deterministic=deterministic,
+                dropout_mask=(dropout_masks or {}).get(f"dec_{j}"))
             h = h + skips[-1 - j]
 
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="output_dense")(h)

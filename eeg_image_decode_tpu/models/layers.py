@@ -438,8 +438,14 @@ class MLPBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, *, deterministic: bool,
+                 dropout_mask: jax.Array | None = None) -> jax.Array:
         x = nn.Dense(self.features, dtype=self.dtype)(x)
         x = nn.LayerNorm(dtype=jnp.float32)(x)
         x = nn.silu(x)
+        if dropout_mask is not None:
+            # externally drawn pre-scaled keep-mask — the placement-parity
+            # hook (tests/test_prior_dropout_placement.py), same mechanism
+            # as ATMS's dropout_masks
+            return x * dropout_mask.astype(x.dtype)
         return nn.Dropout(self.dropout, deterministic=deterministic)(x)
