@@ -1402,6 +1402,19 @@ def cmd_export_checkpoint(args):
 
     sample = jnp.zeros((2, args.channels, args.timepoints))
     ckpt = Checkpointer(os.path.join(args.run_dir, "ckpt"))
+    # fail on a missing/empty checkpoint BEFORE the layout fallback loop —
+    # otherwise the same FileNotFoundError surfaces twice as a bogus
+    # "matches neither tsconv layout" diagnosis
+    if ckpt.latest_step() is None:
+        raise SystemExit(
+            f"no checkpoints under {os.path.join(args.run_dir, 'ckpt')}"
+        )
+    if args.step is not None and args.step not in ckpt.manager.all_steps():
+        raise SystemExit(
+            f"step {args.step} not found under "
+            f"{os.path.join(args.run_dir, 'ckpt')} "
+            f"(available: {sorted(ckpt.manager.all_steps())})"
+        )
     # the checkpoint's tsconv layout depends on the TRAINING host's backend
     # (fused_tsconv='auto' → fused kernel tree on TPU, plain conv tree on
     # CPU); the export host's backend says nothing about it, so try both

@@ -159,12 +159,17 @@ class Generator4Embeds:
         init_latents: jax.Array | None = None,
         img2img_strength: float = 1.0,
         decode: bool = True,
+        row_keys: jax.Array | None = None,
     ) -> jax.Array:
         """CLIP image embeddings (B, D) → images (B, H, W, 3) in [0, 1].
 
         ``init_latents`` + ``img2img_strength`` < 1 enable the low-level
         pipeline: denoising starts from the noised init latents at the
-        intermediate σ (ref ``prepare_latents_img2img``)."""
+        intermediate σ (ref ``prepare_latents_img2img``).
+
+        ``row_keys`` (B,) typed PRNG keys make each row's noise independent
+        of batch composition (see ``ops/ddpm.py::make_cfg_sampler``); when
+        given, ``key`` is ignored."""
         assert self.params is not None, "call init() or load_params() first"
         cfg = self.config
         steps = num_inference_steps or cfg.num_inference_steps
@@ -200,6 +205,7 @@ class Generator4Embeds:
             pooled_text_embed,
             init_latents,
             key,
+            row_keys,
         )
 
 
@@ -219,6 +225,7 @@ def _generate_jit(
     pooled_text_embed: jax.Array | None,
     init_latents: jax.Array | None,
     key: jax.Array,
+    row_keys: jax.Array | None = None,
 ):
     cfg = gen.config
     sched = gen.schedule
@@ -228,8 +235,20 @@ def _generate_jit(
     b = image_embeds.shape[0]
     h, w = cfg.latent_size
     shape = (b, h, w, cfg.unet.in_channels)
+
+    def rows_normal(i):
+        # per-ROW draws (fold_in by step): a row's noise is the same whatever
+        # batch it rides in — required by the serving coalescer's
+        # determinism contract (server.py::_Coalescer)
+        return jax.vmap(
+            lambda k: jax.random.normal(
+                jax.random.fold_in(k, i), shape[1:], jnp.float32
+            )
+        )(row_keys)
+
     key, init_key = jax.random.split(key)
-    noise = jax.random.normal(init_key, shape, jnp.float32)
+    noise = (rows_normal(0) if row_keys is not None
+             else jax.random.normal(init_key, shape, jnp.float32))
     if init_latents is None:
         x = noise * sched.init_noise_sigma(sigmas)
     else:
@@ -262,7 +281,7 @@ def _generate_jit(
 
     def body(carry, inputs):
         x, key = carry
-        t, sigma, sigma_next = inputs
+        t, sigma, sigma_next, step_i = inputs
         key, nkey = jax.random.split(key)
         scaled = sched.scale_model_input(x, sigma)
         if use_cfg:
@@ -275,12 +294,15 @@ def _generate_jit(
             tb = jnp.full((b,), t, jnp.int32)
             eps = unet_eps(scaled, tb, text_context, pooled_text_embed,
                            time_ids, image_embeds)
-        step_noise = jax.random.normal(nkey, x.shape, jnp.float32)
+        step_noise = (rows_normal(step_i + 1) if row_keys is not None
+                      else jax.random.normal(nkey, x.shape, jnp.float32))
         x = sched.step(eps, sigma, sigma_next, x, step_noise)
         return (x, key), None
 
     (x, _), _ = jax.lax.scan(
-        body, (x, key), (ts, sigmas[:-1], sigmas[1:])
+        body, (x, key),
+        (ts, sigmas[:-1], sigmas[1:],
+         jnp.arange(ts.shape[0], dtype=jnp.int32)),
     )
     if not decode:
         return x

@@ -125,14 +125,33 @@ def make_cfg_sampler(
     @partial(jax.jit, static_argnames=("shape",))
     def sample(key: jax.Array, cond: jax.Array | None, shape: tuple[int, ...],
                init_noise: jax.Array | None = None,
-               step_noises: jax.Array | None = None):
+               step_noises: jax.Array | None = None,
+               row_keys: jax.Array | None = None):
         """``init_noise`` (shape) / ``step_noises`` (steps, *shape) override
         the PRNG draws — the shared-trajectory hook for sampling parity vs
         the reference's ``Pipe.generate``
-        (``scripts/parity_prior_trajectory.py``)."""
-        key, init_key = jax.random.split(key)
-        x = (jax.random.normal(init_key, shape, jnp.float32)
-             if init_noise is None else init_noise.astype(jnp.float32))
+        (``scripts/parity_prior_trajectory.py``).
+
+        ``row_keys`` (B,) typed PRNG keys make every noise draw a pure
+        function of the ROW's key (fold_in by step index), independent of
+        batch size or the row's position in it — the serving layer's
+        coalescer merges concurrent requests into one batch, and a request's
+        result must not depend on what it was batched with
+        (``server.py::_Coalescer``). When given, ``key`` is ignored."""
+        if row_keys is not None:
+            def rows_normal(i):
+                return jax.vmap(
+                    lambda k: jax.random.normal(
+                        jax.random.fold_in(k, i), shape[1:], jnp.float32
+                    )
+                )(row_keys)
+
+            x = (rows_normal(0) if init_noise is None
+                 else init_noise.astype(jnp.float32))
+        else:
+            key, init_key = jax.random.split(key)
+            x = (jax.random.normal(init_key, shape, jnp.float32)
+                 if init_noise is None else init_noise.astype(jnp.float32))
         n = shape[0]
         use_cfg = cond is not None and guidance_scale != 0
         if use_cfg:
@@ -142,7 +161,7 @@ def make_cfg_sampler(
             )
 
         def body(carry, step_in):
-            t, injected = step_in
+            t, step_i, injected = step_in
             x, key = carry
             key, nkey = jax.random.split(key)
             if use_cfg:
@@ -155,15 +174,24 @@ def make_cfg_sampler(
             else:
                 tb = jnp.full((n,), t, jnp.int32)
                 eps = denoise_fn(x, tb, cond, jnp.zeros((n,), jnp.float32))
-            noise = (jax.random.normal(nkey, shape, jnp.float32)
-                     if injected is None else injected)
+            if injected is not None:
+                noise = injected
+            elif row_keys is not None:
+                noise = jax.vmap(
+                    lambda k: jax.random.normal(
+                        jax.random.fold_in(k, step_i + 1), shape[1:],
+                        jnp.float32,
+                    )
+                )(row_keys)
+            else:
+                noise = jax.random.normal(nkey, shape, jnp.float32)
             x = schedule.step(
                 eps, t, x, noise, num_inference_steps=num_inference_steps
             )
             return (x, key), None
 
-        xs = (timesteps, None if step_noises is None
-              else step_noises.astype(jnp.float32))
+        xs = (timesteps, jnp.arange(timesteps.shape[0], dtype=jnp.int32),
+              None if step_noises is None else step_noises.astype(jnp.float32))
         (x, _), _ = jax.lax.scan(body, (x, key), xs)
         return x
 

@@ -44,6 +44,30 @@ def _check_request(eeg: np.ndarray, subject_ids) -> tuple[np.ndarray, np.ndarray
     return eeg, subject_ids
 
 
+def _default_row_seeds(n: int, seed: int) -> np.ndarray:
+    """(seed, row-index-within-request) pairs — the per-row PRNG identity.
+    Deriving noise from THESE (rather than from a batch-level key) makes a
+    row's output independent of the batch it rides in, so the HTTP
+    coalescer (``server.py::_Coalescer``) can merge concurrent seeded
+    requests without changing anyone's result."""
+    return np.stack(
+        [np.full(n, seed, np.uint32), np.arange(n, dtype=np.uint32)], axis=1
+    )
+
+
+def _row_keys(row_seeds: jax.Array, domain: int) -> jax.Array:
+    """(B, 2) uint32 (seed, row) pairs → (B,) typed PRNG keys, namespaced by
+    ``domain`` (0 = prior sampling, 1 = SDXL generation)."""
+    root = jax.random.key(0)
+
+    def one(pair):
+        k = jax.random.fold_in(root, pair[0])
+        k = jax.random.fold_in(k, pair[1])
+        return jax.random.fold_in(k, domain)
+
+    return jax.vmap(one)(row_seeds)
+
+
 class RetrievalService:
     def __init__(
         self,
@@ -53,6 +77,7 @@ class RetrievalService:
         *,
         max_batch: int = 256,
         transfer_dtype=None,
+        k_cap: int = 64,
     ):
         self.model = model
         self.variables = variables
@@ -60,6 +85,12 @@ class RetrievalService:
             jnp.asarray(gallery_features, jnp.float32)
         )
         self.max_batch = max_batch
+        # one compiled program serves EVERY k ≤ k_cap: the device computes
+        # top-k_cap and the host slices to the requested k, so an arbitrary
+        # client k never pays an XLA compile on the live path (a cold
+        # (bucket, k) program measured as a 14.5 s p99 outlier). k > k_cap
+        # falls back to a specialized compile (rare; deliberate).
+        self.k_cap = max(1, min(k_cap, int(gallery_features.shape[0])))
         # host→device wire format for the EEG rows. The coalesced-batch
         # dispatch is TRANSFER-bound, not compute-bound (measured on this
         # host: 375 ms for a 256-row call of which 342 ms is the 16 MB fp32
@@ -93,14 +124,17 @@ class RetrievalService:
         self._query = query
 
     def warmup(self, eeg_shape: tuple[int, int],
-               ks: tuple[int, ...] = (5,)) -> None:
+               ks: tuple[int, ...] = ()) -> None:
         """Compile every bucket shape up front (one dummy dispatch per
-        (bucket, k) over ``eeg_shape=(C, T)``) so no live request ever pays
-        a compile on the serving path — a cold bucket hit by the first
-        coalesced burst measured as a 14.5 s p99 outlier (docs/PERF.md)."""
+        bucket over ``eeg_shape=(C, T)``) so no live request ever pays a
+        compile on the serving path — a cold bucket hit by the first
+        coalesced burst measured as a 14.5 s p99 outlier (docs/PERF.md).
+        The device program computes top-``k_cap`` regardless of the client
+        k, so one compile per bucket covers every k ≤ k_cap; pass ``ks``
+        only to pre-warm specific k values ABOVE k_cap."""
         c, t = eeg_shape
         for b in self.buckets:
-            for k in ks:
+            for k in {1, *ks}:  # k=1 rides the shared top-k_cap program
                 self.top_k(np.zeros((b, c, t), np.float32),
                            np.zeros(b, np.int32), k=k)
 
@@ -116,6 +150,11 @@ class RetrievalService:
         every call hits the one compiled program regardless of request
         size — same contract as :class:`ReconstructionService`."""
         eeg, subject_ids = _check_request(eeg, subject_ids)
+        if k < 1:
+            raise ValueError(f"k must be >= 1; got {k}")
+        # the device computes top-max(k, k_cap); the host slices to k so any
+        # k <= k_cap shares one compiled program per bucket
+        kq = self.k_cap if k <= self.k_cap else k
         n = eeg.shape[0]
         all_scores, all_idx = [], []
         for start in range(0, n, self.max_batch):
@@ -130,15 +169,15 @@ class RetrievalService:
             sid_p = np.pad(sids, (0, pad))
             scores, idx = self._query(
                 self.variables, self.gallery, jnp.asarray(eeg_p),
-                jnp.asarray(sid_p), k=k,
+                jnp.asarray(sid_p), k=kq,
             )
             # keep device futures; materialize after the loop so chunk i's
             # readback overlaps chunk i+1's compute (dispatch is async)
             all_scores.append((scores, m))
             all_idx.append((idx, m))
         return (
-            np.concatenate([np.asarray(s)[:m] for s, m in all_scores]),
-            np.concatenate([np.asarray(i)[:m] for i, m in all_idx]),
+            np.concatenate([np.asarray(s)[:m, :k] for s, m in all_scores]),
+            np.concatenate([np.asarray(i)[:m, :k] for i, m in all_idx]),
         )
 
 
@@ -178,7 +217,7 @@ class ReconstructionService:
         schedule = self.prior.schedule
 
         def fused(variables, prior_params, gen_params, text, eeg,
-                  subject_ids, k_prior, k_gen):
+                  subject_ids, row_seeds):
             feats, _ = model.apply(
                 variables, eeg, subject_ids, deterministic=True
             )
@@ -192,14 +231,18 @@ class ReconstructionService:
                 num_inference_steps=pcfg.num_inference_steps,
                 guidance_scale=pcfg.guidance_scale,
             )
+            # per-ROW keys: each row's noise is a function of its request's
+            # (seed, row-index) only — coalescing-safe (see _row_keys)
             embeds = sampler(
-                k_prior, feats, (feats.shape[0], pcfg.embed_dim)
+                jax.random.key(0), feats, (feats.shape[0], pcfg.embed_dim),
+                row_keys=_row_keys(row_seeds, 0),
             )
             ctx, pooled = text
             return _generate_jit(
                 self.generator, gcfg.num_inference_steps,
                 float(gcfg.guidance_scale), None, True,
-                gen_params, embeds, ctx, pooled, None, k_gen,
+                gen_params, embeds, ctx, pooled, None, jax.random.key(0),
+                _row_keys(row_seeds, 1),
             )
 
         self._fused_fn = jax.jit(fused)
@@ -234,15 +277,24 @@ class ReconstructionService:
         subject_ids: np.ndarray | int,
         *,
         seed: int = 0,
+        row_seeds: np.ndarray | None = None,
     ) -> np.ndarray:
         """(B, C, T) EEG → (B, H, W, 3) images in [0, 1].
 
         Requests are chunked into ``max_batch``-sized pieces (the last one
         padded up), so every encoder/prior/UNet call runs at exactly one
         compiled shape — an oversized request costs extra chunks, never a
-        fresh jit trace of the SDXL graph."""
+        fresh jit trace of the SDXL graph.
+
+        Noise is drawn per ROW from ``row_seeds`` ((B, 2) uint32
+        (seed, row-index) pairs; default ``(seed, 0..B-1)``), so the same
+        request+seed reproduces the same images whether it runs alone, in a
+        coalesced batch, or split across chunks."""
         eeg, subject_ids = _check_request(eeg, subject_ids)
         n = eeg.shape[0]
+        if row_seeds is None:
+            row_seeds = _default_row_seeds(n, seed)
+        row_seeds = np.asarray(row_seeds, np.uint32)
         out = []
         for start in range(0, n, self.max_batch):
             chunk = eeg[start : start + self.max_batch]
@@ -251,8 +303,8 @@ class ReconstructionService:
             pad = self.max_batch - m
             eeg_p = np.pad(chunk, ((0, pad), (0, 0), (0, 0)))
             sid_p = np.pad(sids, (0, pad))
-            k_prior = jax.random.key(seed + 2 * start)
-            k_gen = jax.random.key(seed + 2 * start + 1)
+            rs_p = np.pad(row_seeds[start : start + self.max_batch],
+                          ((0, pad), (0, 0)))
             if self.fused:
                 if self._fused_fn is None:
                     self._build_fused()
@@ -260,14 +312,18 @@ class ReconstructionService:
                     self.variables, self.prior.state.params,
                     self.generator.params,
                     self._default_text(self.max_batch),
-                    jnp.asarray(eeg_p), jnp.asarray(sid_p), k_prior, k_gen,
+                    jnp.asarray(eeg_p), jnp.asarray(sid_p),
+                    jnp.asarray(rs_p),
                 )
             else:
                 feats = self._encode(
                     self.variables, jnp.asarray(eeg_p), jnp.asarray(sid_p)
                 )
-                embeds = self.prior.generate(feats, key=k_prior)
-                imgs = self.generator.generate(embeds, key=k_gen)
+                rk = jnp.asarray(rs_p)
+                embeds = self.prior.generate(
+                    feats, row_keys=_row_keys(rk, 0))
+                imgs = self.generator.generate(
+                    embeds, row_keys=_row_keys(rk, 1))
             # device future, not np.asarray: materializing after the loop
             # lets chunk i's ~12 MB image readback overlap chunk i+1's
             # compute (dispatch is async)
@@ -318,11 +374,20 @@ class CaptionService:
         subject_ids: np.ndarray | int,
         *,
         seed: int = 0,
+        row_seeds: np.ndarray | None = None,
     ) -> list[str]:
         """(B, C, T) EEG → B caption strings. Requests chunk by ``max_batch``
-        (last chunk padded up) so every call hits one compiled program."""
+        (last chunk padded up) so every call hits one compiled program.
+
+        Prior noise is per-ROW keyed (see
+        :meth:`ReconstructionService.reconstruct`): same request+seed → same
+        captions regardless of coalescing/chunking. The GIT decode itself is
+        greedy (deterministic)."""
         eeg, subject_ids = _check_request(eeg, subject_ids)
         n = eeg.shape[0]
+        if row_seeds is None:
+            row_seeds = _default_row_seeds(n, seed)
+        row_seeds = np.asarray(row_seeds, np.uint32)
         out: list[str] = []
         for start in range(0, n, self.max_batch):
             chunk = eeg[start : start + self.max_batch]
@@ -331,11 +396,13 @@ class CaptionService:
             pad = self.max_batch - m
             eeg_p = np.pad(chunk, ((0, pad), (0, 0), (0, 0)))
             sid_p = np.pad(sids, (0, pad))
+            rs_p = np.pad(row_seeds[start : start + self.max_batch],
+                          ((0, pad), (0, 0)))
             feats = self._encode(
                 self.variables, jnp.asarray(eeg_p), jnp.asarray(sid_p)
             )
             embeds = self.prior.generate(
-                feats, key=jax.random.key(seed + start)
+                feats, row_keys=_row_keys(jnp.asarray(rs_p), 0)
             )
             grids = self._projector.apply(
                 {"params": self._projector_params}, embeds

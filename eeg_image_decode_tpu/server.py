@@ -38,17 +38,21 @@ class _Coalescer:
     """Dynamic request batching (leader–follower): while the device runs one
     batch, arriving requests pile into ``_pending``; whichever thread next
     wins the device lock drains the WHOLE compatible backlog, concatenates
-    the EEG rows, runs the service once, and demuxes per-request results.
+    the row arrays, runs the service once, and demuxes per-request results.
     Under C concurrent clients this turns C serial dispatches (p50 ≈ C ×
     single-request latency — measured in docs/PERF.md r4) into ~1 batched
     dispatch per device slot.
 
-    ``fn(eeg, subject_ids, **kw) → per-row result`` must be row-aligned
-    (the services' contract). Requests are only coalesced when their extra
-    kwargs (k / seed) match — mixed settings serve sequentially, each still
-    correct. ``max_rows`` bounds one drained batch (default: the service's
-    own ``max_batch`` chunking makes any bound safe, so it is a fairness
-    knob, not a correctness one).
+    ``fn(rows, **kw) → per-row result`` takes a dict of row-aligned arrays
+    (``eeg``, ``sids``, optionally ``row_seeds``) and must return row-aligned
+    results (the services' contract). Requests are only coalesced when their
+    extra kwargs (k) AND their per-row trailing shapes match — a wrong-shaped
+    request must fail alone, never poison a merged dispatch. Seeded services
+    carry the seed in per-row ``row_seeds`` (see ``serve._default_row_seeds``)
+    so different-seed requests coalesce AND reproduce their standalone
+    results exactly. ``max_rows`` bounds one drained batch (default: the
+    service's own ``max_batch`` chunking makes any bound safe, so it is a
+    fairness knob, not a correctness one).
     """
 
     def __init__(self, fn, device_lock: threading.Lock, *,
@@ -59,9 +63,10 @@ class _Coalescer:
         self._mu = threading.Lock()
         self._pending: list[dict] = []
 
-    def submit(self, eeg: np.ndarray, subject_ids: np.ndarray, **kw):
+    def submit(self, rows: dict, **kw):
+        n = next(iter(rows.values())).shape[0]
         item = {
-            "eeg": eeg, "sids": subject_ids, "kw": kw,
+            "rows": rows, "n": n, "kw": kw,
             "event": threading.Event(), "out": None, "err": None,
         }
         with self._mu:
@@ -77,29 +82,41 @@ class _Coalescer:
             raise item["err"]
         return item["out"]
 
+    @staticmethod
+    def _sig(item: dict) -> tuple:
+        """Coalescing compatibility signature: kwargs + the trailing shape
+        of every row array."""
+        return (
+            tuple(sorted(item["kw"].items())),
+            tuple(sorted((k, v.shape[1:]) for k, v in item["rows"].items())),
+        )
+
     def _drain_as_leader(self):
         """Called WITH the device lock held: serve the oldest pending
-        group (same-kwargs prefix of the FIFO queue, bounded by max_rows)."""
+        group (compatible prefix of the FIFO queue, bounded by max_rows)."""
         with self._mu:
             if not self._pending:
                 return
+            sig = self._sig(self._pending[0])
             kw = self._pending[0]["kw"]
             batch, rest, rows = [], [], 0
             for it in self._pending:
-                fits = not batch or rows + it["eeg"].shape[0] <= self._max_rows
-                if it["kw"] == kw and fits:  # oversize requests ride alone
+                fits = not batch or rows + it["n"] <= self._max_rows
+                if self._sig(it) == sig and fits:  # oversize rides alone
                     batch.append(it)
-                    rows += it["eeg"].shape[0]
+                    rows += it["n"]
                 else:
                     rest.append(it)
             self._pending = rest
         try:
-            eeg = np.concatenate([it["eeg"] for it in batch], axis=0)
-            sids = np.concatenate([it["sids"] for it in batch], axis=0)
-            out = self._fn(eeg, sids, **kw)
+            merged = {
+                k: np.concatenate([it["rows"][k] for it in batch], axis=0)
+                for k in batch[0]["rows"]
+            }
+            out = self._fn(merged, **kw)
             start = 0
             for it in batch:
-                m = it["eeg"].shape[0]
+                m = it["n"]
                 it["out"] = _slice_rows(out, start, start + m)
                 start += m
         except Exception as e:  # pragma: no cover - per-request error fanout
@@ -137,22 +154,37 @@ class EEGDecodeServer:
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self.coalesce = coalesce
+        # service entry points over the coalescer's (rows, **kw) calling
+        # convention — shared by the coalesced and lock-serialized paths.
+        # Seeded services take per-row seeds, not a batch seed: a row's
+        # noise must not depend on what it was coalesced with.
+        self._calls = {
+            "retrieval": lambda rows, k: self.retrieval.top_k(
+                rows["eeg"], rows["sids"], k=k),
+            "reconstruction": lambda rows: self.reconstruction.reconstruct(
+                rows["eeg"], rows["sids"], row_seeds=rows["row_seeds"]),
+            "caption": lambda rows: self.caption.caption(
+                rows["eeg"], rows["sids"], row_seeds=rows["row_seeds"]),
+        }
         if coalesce:
             # one coalescer per service; all share the single device lock
             # (one chip executes one batch at a time — the batching happens
             # in the queue that forms while it runs)
             self._co = {
-                "retrieval": retrieval and _Coalescer(
-                    lambda e, s, k: self.retrieval.top_k(e, s, k=k),
-                    self._device_lock),
-                "reconstruction": reconstruction and _Coalescer(
-                    lambda e, s, seed: self.reconstruction.reconstruct(
-                        e, s, seed=seed),
-                    self._device_lock),
-                "caption": caption and _Coalescer(
-                    lambda e, s, seed: self.caption.caption(e, s, seed=seed),
-                    self._device_lock),
+                name: svc and _Coalescer(self._calls[name],
+                                         self._device_lock)
+                for name, svc in (
+                    ("retrieval", retrieval),
+                    ("reconstruction", reconstruction),
+                    ("caption", caption),
+                )
             }
+
+    def _dispatch(self, name: str, rows: dict, **kw):
+        if self.coalesce:
+            return self._co[name].submit(rows, **kw)
+        with self._device_lock:
+            return self._calls[name](rows, **kw)
 
     # ——— request decoding ———
 
@@ -182,20 +214,34 @@ class EEGDecodeServer:
 
     # ——— handlers ———
 
+    _ROUTES = {
+        "/v1/retrieve": "retrieval",
+        "/v1/reconstruct": "reconstruction",
+        "/v1/caption": "caption",
+    }
+
     def _handle(self, route: str, req: dict) -> tuple[bytes, str]:
         """→ (response body, content type)."""
-        if route == "/v1/retrieve":
-            if self.retrieval is None:
-                raise LookupError("retrieval service not configured")
-            eeg, sids = self._require(req, "eeg", "subject_ids")
-            eeg = np.asarray(eeg, np.float32)
-            sids = self._row_sids(eeg, sids)
-            k = int(req.get("k", 5))
-            if self.coalesce:
-                scores, idx = self._co["retrieval"].submit(eeg, sids, k=k)
-            else:
-                with self._device_lock:
-                    scores, idx = self.retrieval.top_k(eeg, sids, k=k)
+        name = self._ROUTES.get(route)
+        if name is None:
+            raise FileNotFoundError(route)
+        if getattr(self, name) is None:
+            raise LookupError(f"{name} service not configured")
+        eeg, sids = self._require(req, "eeg", "subject_ids")
+        eeg = np.asarray(eeg, np.float32)
+        rows = {"eeg": eeg, "sids": self._row_sids(eeg, sids)}
+        kw = {}
+        if name == "retrieval":
+            kw["k"] = int(req.get("k", 5))
+        else:
+            from eeg_image_decode_tpu.serve import _default_row_seeds
+
+            rows["row_seeds"] = _default_row_seeds(
+                eeg.shape[0], int(req.get("seed", 0))
+            )
+        out = self._dispatch(name, rows, **kw)
+        if name == "retrieval":
+            scores, idx = out
             return (
                 json.dumps(
                     {"scores": np.asarray(scores).tolist(),
@@ -203,39 +249,14 @@ class EEGDecodeServer:
                 ).encode(),
                 "application/json",
             )
-        if route == "/v1/reconstruct":
-            if self.reconstruction is None:
-                raise LookupError("reconstruction service not configured")
-            eeg, sids = self._require(req, "eeg", "subject_ids")
-            eeg = np.asarray(eeg, np.float32)
-            sids = self._row_sids(eeg, sids)
-            seed = int(req.get("seed", 0))
-            if self.coalesce:
-                imgs = self._co["reconstruction"].submit(eeg, sids, seed=seed)
-            else:
-                with self._device_lock:
-                    imgs = self.reconstruction.reconstruct(
-                        eeg, sids, seed=seed)
+        if name == "reconstruction":
             buf = io.BytesIO()
-            np.savez_compressed(buf, images=np.asarray(imgs, np.float32))
+            np.savez_compressed(buf, images=np.asarray(out, np.float32))
             return buf.getvalue(), "application/octet-stream"
-        if route == "/v1/caption":
-            if self.caption is None:
-                raise LookupError("caption service not configured")
-            eeg, sids = self._require(req, "eeg", "subject_ids")
-            eeg = np.asarray(eeg, np.float32)
-            sids = self._row_sids(eeg, sids)
-            seed = int(req.get("seed", 0))
-            if self.coalesce:
-                caps = self._co["caption"].submit(eeg, sids, seed=seed)
-            else:
-                with self._device_lock:
-                    caps = self.caption.caption(eeg, sids, seed=seed)
-            return (
-                json.dumps({"captions": list(caps)}).encode(),
-                "application/json",
-            )
-        raise FileNotFoundError(route)
+        return (
+            json.dumps({"captions": list(out)}).encode(),
+            "application/json",
+        )
 
     @staticmethod
     def _row_sids(eeg: np.ndarray, sids) -> np.ndarray:

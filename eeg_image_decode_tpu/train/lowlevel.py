@@ -205,7 +205,12 @@ class LowLevelTrainer:
         n = eeg.shape[0]
         n_steps = max(n // batch_size, 1)
         if self.state is None:
-            self.init(total_steps=n_steps * epochs, seed=seed)
+            # steps_per_epoch selects the reference's per-EPOCH
+            # CosineAnnealingLR staircase (the schedule the trajectory-parity
+            # proof pins) — without it init() falls back to a smooth per-step
+            # cosine that diverges from the validated trajectory
+            self.init(total_steps=n_steps * epochs, seed=seed,
+                      steps_per_epoch=n_steps)
         start_epoch = 0
         history: list[dict] = []
         if resume:

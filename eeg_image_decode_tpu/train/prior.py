@@ -111,6 +111,10 @@ class PriorPipe:
         self._schedule_total_steps = total_steps
         self._loaded_params = False  # explicit init: caller owns the schedule
         self._epoch_fn = self._make_epoch_fn()
+        # the injected-epoch jit closes over self.tx — a fresh optimizer
+        # (new schedule horizon) must invalidate it or later injected epochs
+        # would silently step with the stale schedule
+        self._injected_epoch_fn = None
         return self.state
 
     def _rebuild_optimizer(self, total_steps: int) -> None:
@@ -128,6 +132,7 @@ class PriorPipe:
         self._schedule_total_steps = total_steps
         self._loaded_params = False
         self._epoch_fn = self._make_epoch_fn()
+        self._injected_epoch_fn = None  # closes over self.tx (see init)
 
     def _make_epoch_fn(self):
         cfg, model, schedule, tx = self.cfg, self.model, self.schedule, self.tx
@@ -202,7 +207,7 @@ class PriorPipe:
         ``(per-step losses,)`` alongside the updated state, which is stored
         on the pipe."""
         assert self.state is not None, "init() the pipe first"
-        if not hasattr(self, "_injected_epoch_fn"):
+        if getattr(self, "_injected_epoch_fn", None) is None:
             cfg, model, schedule, tx = (
                 self.cfg, self.model, self.schedule, self.tx,
             )
@@ -458,8 +463,12 @@ class PriorPipe:
         num_inference_steps: int | None = None,
         guidance_scale: float | None = None,
         key: jax.Array | None = None,
+        row_keys: jax.Array | None = None,
     ) -> jax.Array:
-        """EEG features → sampled CLIP image embeddings (N, embed_dim)."""
+        """EEG features → sampled CLIP image embeddings (N, embed_dim).
+
+        ``row_keys`` (N,) typed PRNG keys give each row batch-composition-
+        independent noise (see ``ops/ddpm.py::make_cfg_sampler``)."""
         assert self.state is not None, "train or load the prior first"
         cfg = self.cfg
         steps = num_inference_steps or cfg.num_inference_steps
@@ -479,11 +488,11 @@ class PriorPipe:
 
                 return denoise
 
-            def sample(params, key, cond, shape):
+            def sample(params, key, cond, shape, row_keys=None):
                 return make_cfg_sampler(
                     denoise_with(params), self.schedule,
                     num_inference_steps=steps, guidance_scale=scale,
-                )(key, cond, shape)
+                )(key, cond, shape, row_keys=row_keys)
 
             self._samplers[cache_key] = jax.jit(
                 sample, static_argnames=("shape",)
@@ -492,7 +501,8 @@ class PriorPipe:
             key = jax.random.key(cfg.seed)
         c = jnp.asarray(c_embeds, jnp.float32)
         return self._samplers[cache_key](
-            self.state.params, key, c, (c.shape[0], cfg.embed_dim)
+            self.state.params, key, c, (c.shape[0], cfg.embed_dim),
+            row_keys=row_keys,
         )
 
 

@@ -59,13 +59,23 @@ def test_retrieval_service_topk():
     assert svc._query._cache_size() == 2
     np.testing.assert_allclose(s2[:8], scores, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(i2[:8], idx)
-    # warmup compiles every remaining (bucket, k) pair up front so live
-    # requests never pay an XLA compile; afterwards any request size at a
-    # warmed k adds no traces
+    # warmup compiles every bucket up front so live requests never pay an
+    # XLA compile; afterwards any request size at ANY k ≤ k_cap adds no
+    # traces (the device computes top-k_cap once; the host slices)
     c, t = test.eeg.shape[1:]
     svc.warmup((c, t), ks=(3,))
     n_warm = svc._query._cache_size()
     svc.top_k(test.eeg[:13], test.subject_ids[:13], k=3)
+    assert svc._query._cache_size() == n_warm
+    # k_cap clamps to the gallery size (12 here); every k ≤ k_cap rides the
+    # shared program AND must equal the specialized answer's prefix
+    assert svc.k_cap == 12
+    s12, i12 = svc.top_k(test.eeg[:8], test.subject_ids[:8], k=12)
+    for k in (1, 5, 12):
+        sk, ik = svc.top_k(test.eeg[:8], test.subject_ids[:8], k=k)
+        assert sk.shape == (8, k)
+        np.testing.assert_array_equal(ik, i12[:, :k])
+        np.testing.assert_allclose(sk, s12[:, :k], rtol=1e-6, atol=1e-6)
     assert svc._query._cache_size() == n_warm
     # float16 wire format (transfer-bound coalesced dispatch lever): same
     # decisions, scores at reduced-precision resolution

@@ -194,7 +194,8 @@ def test_coalescer_batches_and_demuxes():
     calls = []
     lock = threading.Lock()
 
-    def fn(eeg, sids, k):
+    def fn(rows, k):
+        eeg, sids = rows["eeg"], rows["sids"]
         calls.append(eeg.shape[0])
         time.sleep(0.05)  # device-time stand-in: lets a backlog form
         if k == 99:
@@ -204,10 +205,10 @@ def test_coalescer_batches_and_demuxes():
 
     co = _Coalescer(fn, lock, max_rows=64)
 
-    def one(i, rows, k):
-        eeg = np.full((rows, 2, 3), float(i), np.float32)
+    def one(i, rows, k, ct=(2, 3)):
+        eeg = np.full((rows, *ct), float(i), np.float32)
         sids = np.full((rows,), i, np.int32)
-        scores, s2 = co.submit(eeg, sids, k=k)
+        scores, s2 = co.submit({"eeg": eeg, "sids": sids}, k=k)
         assert scores.shape == (rows, k)
         np.testing.assert_array_equal(scores[:, 0], np.full(rows, float(i)))
         np.testing.assert_array_equal(s2, sids * 2)
@@ -230,18 +231,86 @@ def test_coalescer_batches_and_demuxes():
         [f.result() for f in futs]
     assert sum(calls) == 8
 
+    # mixed trailing EEG shapes never merge either: a wrong-shaped request
+    # must fail (or succeed) ALONE, not poison a merged np.concatenate
+    calls.clear()
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        futs = [ex.submit(one, i, 2, 4, (2, 3) if i % 2 else (5, 7))
+                for i in range(4)]
+        [f.result() for f in futs]
+    assert sum(calls) == 8
+
     # oversize request rides alone (max_rows)
     co_small = _Coalescer(fn, lock, max_rows=4)
-    out, _ = co_small.submit(np.full((9, 2, 3), 7.0, np.float32),
-                             np.zeros(9, np.int32), k=3)
+    out, _ = co_small.submit(
+        {"eeg": np.full((9, 2, 3), 7.0, np.float32),
+         "sids": np.zeros(9, np.int32)}, k=3)
     assert out.shape == (9, 3)
 
     # error fanout: every member of a failing batch gets the exception
     import pytest
 
     with pytest.raises(RuntimeError, match="boom"):
-        co.submit(np.zeros((2, 2, 3), np.float32), np.zeros(2, np.int32),
-                  k=99)
+        co.submit({"eeg": np.zeros((2, 2, 3), np.float32),
+                   "sids": np.zeros(2, np.int32)}, k=99)
+
+
+def test_coalesced_reconstruction_matches_serial():
+    """Seeded generation must be coalescing-invariant: concurrent
+    /v1/reconstruct requests with DIFFERENT seeds merge into one device
+    batch yet each returns byte-identical images to the same request served
+    alone — per-row noise derives from the request's (seed, row-index), not
+    from the merged batch (serve._row_keys)."""
+    import concurrent.futures
+
+    model, trainer, test = _trained()
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    prior = PriorPipe(PriorConfig(
+        embed_dim=64, cond_dim=64, hidden_dims=(32, 16), time_embed_dim=16,
+        num_inference_steps=3, guidance_scale=2.0,
+    ))
+    prior.init(total_steps=1)
+    gen = Generator4Embeds(GeneratorConfig.tiny(), dtype=jnp.float32)
+    gen.init(jax.random.key(0))
+    recon = ReconstructionService(model, variables, prior, gen, max_batch=8)
+
+    # serial ground truth, one isolated call per request
+    seeds = [7, 9, 7, 11]
+    sizes = [1, 2, 2, 1]
+    serial = [
+        recon.reconstruct(test.eeg[i:i + n], test.subject_ids[i:i + n],
+                          seed=s)
+        for i, (n, s) in enumerate(zip(sizes, seeds))
+    ]
+    # different seeds must STILL change the output (guards against a bug
+    # where row_seeds ignores the seed entirely)
+    assert np.abs(serial[0] - recon.reconstruct(
+        test.eeg[0:1], test.subject_ids[0:1], seed=9)).max() > 1e-6
+
+    server = EEGDecodeServer(reconstruction=recon)  # coalesce=True default
+    port = server.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        def one(i):
+            n, s = sizes[i], seeds[i]
+            buf = io.BytesIO()
+            np.savez(buf, eeg=test.eeg[i:i + n],
+                     subject_ids=np.asarray(test.subject_ids[i:i + n],
+                                            np.int32),
+                     seed=np.asarray(s))
+            status, _, out = _post(f"{base}/v1/reconstruct", buf.getvalue(),
+                                   "application/octet-stream")
+            assert status == 200
+            with np.load(io.BytesIO(out)) as z:
+                return i, z["images"]
+
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            results = dict(ex.map(one, range(4)))
+        for i, imgs in results.items():
+            np.testing.assert_allclose(imgs, serial[i], rtol=1e-5, atol=1e-5)
+    finally:
+        server.stop()
 
 
 def test_coalesced_retrieval_matches_serial():
