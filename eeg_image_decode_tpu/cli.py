@@ -1409,11 +1409,11 @@ def cmd_export_checkpoint(args):
         raise SystemExit(
             f"no checkpoints under {os.path.join(args.run_dir, 'ckpt')}"
         )
-    if args.step is not None and args.step not in ckpt.manager.all_steps():
+    if args.step is not None and args.step not in ckpt.all_steps():
         raise SystemExit(
             f"step {args.step} not found under "
             f"{os.path.join(args.run_dir, 'ckpt')} "
-            f"(available: {sorted(ckpt.manager.all_steps())})"
+            f"(available: {sorted(ckpt.all_steps())})"
         )
     # the checkpoint's tsconv layout depends on the TRAINING host's backend
     # (fused_tsconv='auto' → fused kernel tree on TPU, plain conv tree on

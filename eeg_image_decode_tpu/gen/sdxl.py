@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from eeg_image_decode_tpu.gen.unet import SDXLUNet, SDXLUNetConfig
 from eeg_image_decode_tpu.gen.vae import VAE, VAEConfig
+from eeg_image_decode_tpu.ops.ddpm import row_noise
 from eeg_image_decode_tpu.ops.euler import EulerDiscreteSchedule
 
 
@@ -236,18 +237,11 @@ def _generate_jit(
     h, w = cfg.latent_size
     shape = (b, h, w, cfg.unet.in_channels)
 
-    def rows_normal(i):
-        # per-ROW draws (fold_in by step): a row's noise is the same whatever
-        # batch it rides in — required by the serving coalescer's
-        # determinism contract (server.py::_Coalescer)
-        return jax.vmap(
-            lambda k: jax.random.normal(
-                jax.random.fold_in(k, i), shape[1:], jnp.float32
-            )
-        )(row_keys)
-
+    # per-ROW draws (ops/ddpm.py::row_noise, fold_in by step): a row's noise
+    # is the same whatever batch it rides in — required by the serving
+    # coalescer's determinism contract (server.py::_Coalescer)
     key, init_key = jax.random.split(key)
-    noise = (rows_normal(0) if row_keys is not None
+    noise = (row_noise(row_keys, 0, shape[1:]) if row_keys is not None
              else jax.random.normal(init_key, shape, jnp.float32))
     if init_latents is None:
         x = noise * sched.init_noise_sigma(sigmas)
@@ -294,7 +288,8 @@ def _generate_jit(
             tb = jnp.full((b,), t, jnp.int32)
             eps = unet_eps(scaled, tb, text_context, pooled_text_embed,
                            time_ids, image_embeds)
-        step_noise = (rows_normal(step_i + 1) if row_keys is not None
+        step_noise = (row_noise(row_keys, step_i + 1, shape[1:])
+                      if row_keys is not None
                       else jax.random.normal(nkey, x.shape, jnp.float32))
         x = sched.step(eps, sigma, sigma_next, x, step_noise)
         return (x, key), None

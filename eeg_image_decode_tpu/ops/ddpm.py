@@ -104,6 +104,22 @@ class DDPMSchedule:
         return mean + add * noise
 
 
+def row_noise(row_keys: jax.Array, step: jax.Array | int,
+              row_shape: tuple[int, ...]) -> jax.Array:
+    """(B,) typed PRNG keys → (B, *row_shape) normal noise for one denoise
+    step: row b's draw is ``normal(fold_in(row_keys[b], step))`` — a pure
+    function of the ROW's key and the step index, independent of batch size
+    or the row's position in it. The single source of the per-row derivation
+    the serving coalescer's determinism contract rests on (used by both the
+    prior sampler below and the SDXL loop in ``gen/sdxl.py``; keys built by
+    ``serve._row_keys``)."""
+    return jax.vmap(
+        lambda k: jax.random.normal(
+            jax.random.fold_in(k, step), row_shape, jnp.float32
+        )
+    )(row_keys)
+
+
 def make_cfg_sampler(
     denoise_fn,
     schedule: DDPMSchedule,
@@ -139,14 +155,7 @@ def make_cfg_sampler(
         result must not depend on what it was batched with
         (``server.py::_Coalescer``). When given, ``key`` is ignored."""
         if row_keys is not None:
-            def rows_normal(i):
-                return jax.vmap(
-                    lambda k: jax.random.normal(
-                        jax.random.fold_in(k, i), shape[1:], jnp.float32
-                    )
-                )(row_keys)
-
-            x = (rows_normal(0) if init_noise is None
+            x = (row_noise(row_keys, 0, shape[1:]) if init_noise is None
                  else init_noise.astype(jnp.float32))
         else:
             key, init_key = jax.random.split(key)
@@ -177,12 +186,7 @@ def make_cfg_sampler(
             if injected is not None:
                 noise = injected
             elif row_keys is not None:
-                noise = jax.vmap(
-                    lambda k: jax.random.normal(
-                        jax.random.fold_in(k, step_i + 1), shape[1:],
-                        jnp.float32,
-                    )
-                )(row_keys)
+                noise = row_noise(row_keys, step_i + 1, shape[1:])
             else:
                 noise = jax.random.normal(nkey, shape, jnp.float32)
             x = schedule.step(

@@ -55,6 +55,21 @@ def _default_row_seeds(n: int, seed: int) -> np.ndarray:
     )
 
 
+def _check_row_seeds(row_seeds, n: int, seed: int) -> np.ndarray:
+    """Default/validate per-row seeds against the request's row count —
+    a miscounted caller array must fail HERE with a clear ValueError, not
+    as a shape mismatch deep inside the fused jit trace."""
+    if row_seeds is None:
+        return _default_row_seeds(n, seed)
+    row_seeds = np.asarray(row_seeds, np.uint32)
+    if row_seeds.shape != (n, 2):
+        raise ValueError(
+            f"row_seeds must have shape ({n}, 2) — one (seed, row-index) "
+            f"pair per EEG row; got {row_seeds.shape}"
+        )
+    return row_seeds
+
+
 def _row_keys(row_seeds: jax.Array, domain: int) -> jax.Array:
     """(B, 2) uint32 (seed, row) pairs → (B,) typed PRNG keys, namespaced by
     ``domain`` (0 = prior sampling, 1 = SDXL generation)."""
@@ -86,10 +101,11 @@ class RetrievalService:
         )
         self.max_batch = max_batch
         # one compiled program serves EVERY k ≤ k_cap: the device computes
-        # top-k_cap and the host slices to the requested k, so an arbitrary
-        # client k never pays an XLA compile on the live path (a cold
-        # (bucket, k) program measured as a 14.5 s p99 outlier). k > k_cap
-        # falls back to a specialized compile (rare; deliberate).
+        # top-k_cap and the host slices to the requested k; the rare
+        # k > k_cap rides a second, full-top-gallery program — so at most
+        # TWO programs per bucket ever exist and an arbitrary client k never
+        # pays an XLA compile on the live path (a cold (bucket, k) program
+        # measured as a 14.5 s p99 outlier).
         self.k_cap = max(1, min(k_cap, int(gallery_features.shape[0])))
         # host→device wire format for the EEG rows. The coalesced-batch
         # dispatch is TRANSFER-bound, not compute-bound (measured on this
@@ -130,8 +146,9 @@ class RetrievalService:
         compile on the serving path — a cold bucket hit by the first
         coalesced burst measured as a 14.5 s p99 outlier (docs/PERF.md).
         The device program computes top-``k_cap`` regardless of the client
-        k, so one compile per bucket covers every k ≤ k_cap; pass ``ks``
-        only to pre-warm specific k values ABOVE k_cap."""
+        k, so one compile per bucket covers every k ≤ k_cap; pass a ``ks``
+        value above k_cap to also pre-warm the full-ranking program that
+        serves every such k."""
         c, t = eeg_shape
         for b in self.buckets:
             for k in {1, *ks}:  # k=1 rides the shared top-k_cap program
@@ -150,11 +167,16 @@ class RetrievalService:
         every call hits the one compiled program regardless of request
         size — same contract as :class:`ReconstructionService`."""
         eeg, subject_ids = _check_request(eeg, subject_ids)
-        if k < 1:
-            raise ValueError(f"k must be >= 1; got {k}")
-        # the device computes top-max(k, k_cap); the host slices to k so any
-        # k <= k_cap shares one compiled program per bucket
-        kq = self.k_cap if k <= self.k_cap else k
+        n_gallery = int(self.gallery.shape[0])
+        if not 1 <= k <= n_gallery:
+            raise ValueError(
+                f"k must be in [1, {n_gallery}] (gallery size); got {k}"
+            )
+        # the device computes top-k_cap (or the full top-gallery ranking for
+        # the rare k > k_cap) and the host slices to k — at most TWO compiled
+        # programs per bucket ever exist, so no client-chosen k can force a
+        # fresh XLA compile on the live path behind the device lock
+        kq = self.k_cap if k <= self.k_cap else n_gallery
         n = eeg.shape[0]
         all_scores, all_idx = [], []
         for start in range(0, n, self.max_batch):
@@ -292,9 +314,7 @@ class ReconstructionService:
         coalesced batch, or split across chunks."""
         eeg, subject_ids = _check_request(eeg, subject_ids)
         n = eeg.shape[0]
-        if row_seeds is None:
-            row_seeds = _default_row_seeds(n, seed)
-        row_seeds = np.asarray(row_seeds, np.uint32)
+        row_seeds = _check_row_seeds(row_seeds, n, seed)
         out = []
         for start in range(0, n, self.max_batch):
             chunk = eeg[start : start + self.max_batch]
@@ -385,9 +405,7 @@ class CaptionService:
         greedy (deterministic)."""
         eeg, subject_ids = _check_request(eeg, subject_ids)
         n = eeg.shape[0]
-        if row_seeds is None:
-            row_seeds = _default_row_seeds(n, seed)
-        row_seeds = np.asarray(row_seeds, np.uint32)
+        row_seeds = _check_row_seeds(row_seeds, n, seed)
         out: list[str] = []
         for start in range(0, n, self.max_batch):
             chunk = eeg[start : start + self.max_batch]

@@ -85,10 +85,13 @@ class _Coalescer:
     @staticmethod
     def _sig(item: dict) -> tuple:
         """Coalescing compatibility signature: kwargs + the trailing shape
-        of every row array."""
+        AND dtype of every row array (same-shape different-dtype requests
+        must not merge — np.concatenate would silently upcast one of them,
+        changing its result vs being served alone)."""
         return (
             tuple(sorted(item["kw"].items())),
-            tuple(sorted((k, v.shape[1:]) for k, v in item["rows"].items())),
+            tuple(sorted((k, v.shape[1:], v.dtype.str)
+                         for k, v in item["rows"].items())),
         )
 
     def _drain_as_leader(self):

@@ -1,6 +1,8 @@
 """Serving-layer tests: retrieval top-k and full reconstruction chain."""
 
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -77,6 +79,31 @@ def test_retrieval_service_topk():
         np.testing.assert_array_equal(ik, i12[:, :k])
         np.testing.assert_allclose(sk, s12[:, :k], rtol=1e-6, atol=1e-6)
     assert svc._query._cache_size() == n_warm
+    # k is validated against [1, gallery] BEFORE any dispatch — out-of-range
+    # values get a clear ValueError, not a lax.top_k trace error
+    for bad_k in (0, -3, 13):
+        with pytest.raises(ValueError, match="k must be in"):
+            svc.top_k(test.eeg[:2], test.subject_ids[:2], k=bad_k)
+    # k above a small k_cap rides ONE shared full-top-gallery program (at
+    # most two programs per bucket, whatever k values clients send) and
+    # still matches the top-k_cap program's prefix
+    svc4 = RetrievalService(
+        model,
+        {"params": trainer.state.params,
+         "batch_stats": trainer.state.batch_stats},
+        test.class_img_features(), max_batch=16, k_cap=4,
+    )
+    assert svc4.k_cap == 4
+    s5, i5 = svc4.top_k(test.eeg[:8], test.subject_ids[:8], k=5)
+    svc4.top_k(test.eeg[:8], test.subject_ids[:8], k=2)   # top-k_cap program
+    n_progs = svc4._query._cache_size()
+    assert n_progs == 2
+    s7, i7 = svc4.top_k(test.eeg[:8], test.subject_ids[:8], k=7)
+    svc4.top_k(test.eeg[:8], test.subject_ids[:8], k=3)   # rides top-k_cap
+    svc4.top_k(test.eeg[:8], test.subject_ids[:8], k=11)  # rides full-rank
+    assert svc4._query._cache_size() == n_progs
+    np.testing.assert_array_equal(i5, i12[:, :5])
+    np.testing.assert_array_equal(i7, i12[:, :7])
     # float16 wire format (transfer-bound coalesced dispatch lever): same
     # decisions, scores at reduced-precision resolution
     svc16 = RetrievalService(
@@ -115,6 +142,14 @@ def test_reconstruction_service_chain():
     imgs = svc.reconstruct(test.eeg[:3], test.subject_ids[:3])
     assert imgs.shape == (3, 16, 16, 3)
     assert imgs.min() >= 0 and imgs.max() <= 1
+    # a caller-supplied row_seeds array that disagrees with the request's
+    # row count fails with a clear ValueError, not a jit shape mismatch
+    with pytest.raises(ValueError, match="row_seeds must have shape"):
+        svc.reconstruct(test.eeg[:3], test.subject_ids[:3],
+                        row_seeds=np.zeros((2, 2), np.uint32))
+    with pytest.raises(ValueError, match="row_seeds must have shape"):
+        svc.reconstruct(test.eeg[:3], test.subject_ids[:3],
+                        row_seeds=np.zeros(3, np.uint32))
 
 
 def test_reconstruction_service_chunks_oversized_requests():
