@@ -222,6 +222,7 @@ def make_epoch_fn(
     *,
     mesh=None,
     shard_samples: bool = False,
+    raw: bool = False,
 ) -> Callable:
     """Build the jitted one-epoch function:
     (state, data, perm (n_steps, B), key) → (state, metrics dict).
@@ -232,7 +233,14 @@ def make_epoch_fn(
     rows from its own shard via ``shard_map`` — no cross-device data motion
     for the gather, the embedding all-gather inside the loss is the only
     collective (plus the grad psum).
+
+    ``raw=True`` returns the UNtransformed epoch function (no jit, no
+    shardings) so callers can wrap it in their own transform — the
+    subject-parallel sweep ``vmap``s it over a stacked subject axis
+    (``train/sweep.py``).
     """
+    if raw and (mesh is not None or shard_samples):
+        raise ValueError("raw=True composes with mesh=None only")
 
     def loss_fn(params, batch_stats, batch, dropout_key):
         (feats, scale), updates = model.apply(
@@ -314,6 +322,8 @@ def make_epoch_fn(
         state, metrics = jax.lax.scan(step, state, perm)
         return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
+    if raw:
+        return epoch_fn
     if mesh is None:
         # (shard_samples without a mesh already raised above)
         return jax.jit(epoch_fn, donate_argnums=(0,))
